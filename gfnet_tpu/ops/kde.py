@@ -1,0 +1,39 @@
+"""Gaussian kernel density estimate over sampled matches.
+
+Replaces `utils/kde.py:4-13` (an N x N `torch.cdist` in fp16). On TPU the
+pairwise squared distances are one (N, N) matmul-shaped pass; to keep HBM
+pressure bounded for N ~ 20k (the balanced-sampling path samples 4x5000
+candidates, ref `model/network.py:399-408`) the row dimension is processed in
+blocks so the full N^2 score matrix is never materialized.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+def kde(x: Array, std: float = 0.1, block: int = 4096) -> Array:
+    """density[i] = sum_j exp(-|x_i - x_j|^2 / (2 std^2)); x: (N, D)."""
+    n, d = x.shape
+    x = x.astype(jnp.float32)
+    sq = jnp.sum(x * x, axis=-1)  # (N,)
+    inv = -1.0 / (2 * std * std)
+
+    nb = -(-n // block)
+    pad = nb * block - n
+    xp = jnp.concatenate([x, jnp.zeros((pad, d), x.dtype)], axis=0)
+    sqp = jnp.concatenate([sq, jnp.full((pad,), jnp.inf, sq.dtype)], axis=0)
+
+    def row_block(args):
+        xb, sqb = args  # (block, D), (block,)
+        d2 = sqb[:, None] + sq[None, :] - 2.0 * (xb @ x.T)
+        d2 = jnp.maximum(d2, 0.0)
+        return jnp.sum(jnp.exp(d2 * inv), axis=-1)
+
+    dens = jax.lax.map(
+        row_block, (xp.reshape(nb, block, d), sqp.reshape(nb, block))
+    ).reshape(nb * block)
+    return dens[:n]

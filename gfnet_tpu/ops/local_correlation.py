@@ -1,0 +1,104 @@
+"""Local correlation windows around the current flow estimate.
+
+TPU-native re-design of `utils/local_correlation.py:4-72` (the reference's
+hottest custom op, which loops over the batch in Python and calls cuDNN
+grid_sample per sample). Semantics reproduced exactly:
+
+  for each query cell (i, j) on the G x G grid, sample a (2r+1)^2 window of
+  the target feature map `y` at `flow[i,j] + integer-pixel offsets` (bilinear,
+  zero padding, align_corners=False) and dot with the query feature / sqrt(C).
+
+Window offsets span linspace(-2r/h, 2r/h, 2r+1) per axis — i.e. exactly one
+target-feature pixel per step (ref `local_correlation.py:42-48`), with k
+ordered row-major (ky * (2r+1) + kx).
+
+Two implementations:
+  - `_local_correlation_gather`: fully batched jnp gather (reference/golden
+    path; memory-chunked over the K window taps);
+  - a Pallas kernel (ops/pallas/local_corr.py) exploiting that all K taps of
+    one cell share a single fractional offset, so each cell needs only one
+    (2r+2)^2 integer patch from VMEM and one matvec. Selected via `impl`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gfnet_tpu.ops.sampler import grid_sample
+
+Array = jax.Array
+
+
+def window_offsets(radius: int, h: int, w: int) -> np.ndarray:
+    """(K, 2) xy normalized offsets, K = (2r+1)^2, row-major in y then x."""
+    r = radius
+    oy = np.linspace(-2 * r / h, 2 * r / h, 2 * r + 1)
+    ox = np.linspace(-2 * r / w, 2 * r / w, 2 * r + 1)
+    gy, gx = np.meshgrid(oy, ox, indexing="ij")
+    return np.stack([gx, gy], axis=-1).reshape(-1, 2).astype(np.float32)
+
+
+def _local_correlation_gather(
+    query: Array, target: Array, flow: Array, radius: int, chunk: int = 32
+) -> Array:
+    b, g1, g2, c = query.shape
+    _, h, w, _ = target.shape
+    offs = jnp.asarray(window_offsets(radius, h, w))  # (K, 2)
+    k = offs.shape[0]
+    inv_sqrt_c = 1.0 / float(np.sqrt(c))
+
+    def block(off_block: Array) -> Array:
+        # off_block (kb, 2) -> corr (B, G, G, kb)
+        pos = flow[:, :, :, None, :] + off_block[None, None, None, :, :]
+        samp = grid_sample(target, pos)  # (B, G, G, kb, C)
+        return jnp.einsum("bijkc,bijc->bijk", samp, query) * inv_sqrt_c
+
+    if k <= chunk:
+        return block(offs)
+    # Pad K to a multiple of chunk and scan block-wise to bound peak memory.
+    nb = -(-k // chunk)
+    pad = nb * chunk - k
+    offs_p = jnp.concatenate([offs, jnp.zeros((pad, 2), offs.dtype)], axis=0)
+    out = jax.lax.map(block, offs_p.reshape(nb, chunk, 2))  # (nb, B, G, G, chunk)
+    out = jnp.moveaxis(out, 0, 3).reshape(b, g1, g2, nb * chunk)
+    return out[..., :k]
+
+
+def local_correlation(
+    query: Array,
+    target: Array,
+    flow: Array,
+    radius: int,
+    impl: str = "auto",
+) -> Array:
+    """Compute local correlation.
+
+    Args:
+      query:  (B, G, G, C) grid-resampled query features.
+      target: (B, H, W, C) target feature map.
+      flow:   (B, G, G, 2) normalized xy sample centers.
+      radius: window radius r; output K = (2r+1)^2 taps.
+    Returns:
+      (B, G, G, K) correlation, ordered ky-major to match the reference's
+      channel layout (`local_correlation.py:49-51`).
+    """
+    if impl == "auto":
+        try:
+            from gfnet_tpu.ops.pallas.local_corr import local_correlation_pallas
+
+            if jax.default_backend() == "tpu":
+                return local_correlation_pallas(query, target, flow, radius)
+        except ImportError:
+            pass
+        return _local_correlation_gather(query, target, flow, radius)
+    if impl == "gather":
+        return _local_correlation_gather(query, target, flow, radius)
+    if impl == "pallas":
+        from gfnet_tpu.ops.pallas.local_corr import local_correlation_pallas
+
+        return local_correlation_pallas(query, target, flow, radius)
+    raise ValueError(f"unknown impl {impl}")

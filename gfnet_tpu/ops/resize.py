@@ -1,0 +1,120 @@
+"""Matmul-based image resizing — the TPU-native replacement for
+`F.interpolate` / grid-aligned `grid_sample` calls in the reference.
+
+Instead of gather-based sampling, each separable resize is expressed as two
+dense matrix products `W_h @ x @ W_w^T` whose (out, in) weight matrices are
+built once at trace time (static shapes) — this runs on the MXU and fuses
+with neighboring element-wise ops under XLA.
+
+Semantics match torch exactly (golden-tested in tests/test_resize.py):
+  - bilinear, align_corners False/True   (flow/certainty upsampling,
+    ref `model/network.py:238-249,271-281`; ViT-size image resize
+    `model/network.py:161`; FPN top-down upsample `model/FPN.py:59-66`)
+  - bicubic (a=-0.75), align_corners=False, optional explicit scale factor
+    (DINOv2 pos-embed interpolation, ref `model/transformer/dinov2.py:182-186`)
+  - nearest-exact (loss EPE gating, ref `losses/robust_loss.py:119`)
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def _cubic_kernel(t: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """Keys cubic convolution kernel with torch's a=-0.75."""
+    at = np.abs(t)
+    return np.where(
+        at <= 1,
+        (a + 2) * at**3 - (a + 3) * at**2 + 1,
+        np.where(at < 2, a * at**3 - 5 * a * at**2 + 8 * a * at - 4 * a, 0.0),
+    )
+
+
+@lru_cache(maxsize=256)
+def resize_weight_matrix(
+    in_size: int,
+    out_size: int,
+    mode: str = "bilinear",
+    align_corners: bool = False,
+    scale: float | None = None,
+) -> np.ndarray:
+    """Build the (out_size, in_size) resize weight matrix.
+
+    `scale` (out/in ratio) overrides the implied ratio for coordinate mapping,
+    matching torch's behavior when `scale_factor` is passed explicitly with
+    `recompute_scale_factor=None` (used by DINOv2 pos-embed interpolation).
+    """
+    out_idx = np.arange(out_size, dtype=np.float64)
+    if mode == "nearest-exact":
+        ratio = in_size / out_size if scale is None else 1.0 / scale
+        src = np.minimum(np.floor((out_idx + 0.5) * ratio), in_size - 1).astype(np.int64)
+        W = np.zeros((out_size, in_size))
+        W[np.arange(out_size), src] = 1.0
+        return W
+    if mode == "nearest":
+        ratio = in_size / out_size if scale is None else 1.0 / scale
+        src = np.minimum(np.floor(out_idx * ratio), in_size - 1).astype(np.int64)
+        W = np.zeros((out_size, in_size))
+        W[np.arange(out_size), src] = 1.0
+        return W
+
+    if align_corners:
+        ratio = (in_size - 1) / max(out_size - 1, 1)
+        src = out_idx * ratio
+    else:
+        ratio = in_size / out_size if scale is None else 1.0 / scale
+        src = (out_idx + 0.5) * ratio - 0.5
+
+    W = np.zeros((out_size, in_size))
+    if mode == "bilinear":
+        # torch clamps source coords to >= 0 when not align_corners
+        src_c = np.clip(src, 0, in_size - 1)
+        lo = np.floor(src_c).astype(np.int64)
+        hi = np.minimum(lo + 1, in_size - 1)
+        frac = src_c - lo
+        W[np.arange(out_size), lo] += 1 - frac
+        W[np.arange(out_size), hi] += frac
+    elif mode == "bicubic":
+        lo = np.floor(src).astype(np.int64)
+        frac = src - lo
+        for tap in range(-1, 3):
+            w = _cubic_kernel(tap - frac)
+            idx = np.clip(lo + tap, 0, in_size - 1)
+            np.add.at(W, (np.arange(out_size), idx), w)
+    else:
+        raise ValueError(f"unknown resize mode {mode}")
+    return W
+
+
+def interpolate(
+    x: Array,
+    size: tuple[int, int] | int,
+    mode: str = "bilinear",
+    align_corners: bool = False,
+    scale: tuple[float, float] | None = None,
+) -> Array:
+    """Resize NHWC tensor `x` (B, H, W, C) to `size` (h, w).
+
+    Implemented as two MXU matmuls along H and W. Mode/corner semantics match
+    `torch.nn.functional.interpolate` (see module docstring).
+    """
+    if isinstance(size, int):
+        size = (size, size)
+    b, h, w, c = x.shape
+    oh, ow = size
+    if (oh, ow) == (h, w) and scale is None:
+        return x
+    sh = None if scale is None else scale[0]
+    sw = None if scale is None else scale[1]
+    Wh = jnp.asarray(resize_weight_matrix(h, oh, mode, align_corners, sh), x.dtype)
+    Ww = jnp.asarray(resize_weight_matrix(w, ow, mode, align_corners, sw), x.dtype)
+    # (oh,h) @ (b,h,w*c) over H, then (ow,w) over W.
+    y = jnp.einsum("oh,bhwc->bowc", Wh, x)
+    y = jnp.einsum("pw,bowc->bopc", Ww, y)
+    return y
