@@ -147,7 +147,7 @@ def tiny_test_config() -> ModelConfig:
         encoder=enc,
         matcher=matcher,
         initial_res=(112, 112),
-        upsample_res=(140, 140),
+        upsample_res=(168, 168),
     )
 
 

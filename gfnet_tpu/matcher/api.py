@@ -1,0 +1,287 @@
+"""GFNetMatcher — the user-facing dense matching + homography API.
+
+Covers `GFNet.match` (ref `model/network.py:285-384`), `GFNet.sample`
+(`:385-414`) and the estimation pipeline (`estimation.py:46-92`), composed
+TPU-first:
+
+  - one jit-compiled graph per (resolution, pass) — the 448 initial pass and
+    the 560 upsample-refinement pass are two cached XLA executables
+    (multi-resolution under jit, SURVEY.md §7 hard part #4);
+  - the frozen DINOv2 runs under stop_gradient in bf16;
+  - sampling uses Gumbel top-k (device-side multinomial-without-replacement)
+    + blockwise KDE rebalancing;
+  - the homography solve is the on-device batched RANSAC+IRLS from
+    core/homography (no OpenCV host round-trip).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gfnet_tpu.config import ModelConfig
+from gfnet_tpu.core.geometry import denormalize_corner_aligned, normalized_grid
+from gfnet_tpu.core.homography import ransac_homography
+from gfnet_tpu.models.gfnet import GFNet
+from gfnet_tpu.models.vit import VisionTransformer
+from gfnet_tpu.ops.kde import kde
+from gfnet_tpu.ops.resize import interpolate
+
+Array = jax.Array
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+def imagenet_normalize(x: Array) -> Array:
+    """(..., 3) in [0,1] → imagenet-normalized (ref `utils/utils.py:25-26`)."""
+    return (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+
+
+def upsample_grid_schedule(upsample_res: tuple[int, int], patch: int = 14) -> tuple[int, ...]:
+    """num_grid for the refinement pass (ref `model/network.py:329`)."""
+    hs = upsample_res[0]
+    g0 = int(hs / patch)
+    return (g0, 2 * g0, 4 * g0, 8 * g0)
+
+
+class GFNetMatcher:
+    """Inference/eval driver around the frozen ViT + GFNet head."""
+
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        vit_params: Any | None = None,
+        head_vars: Any | None = None,
+        seed: int = 0,
+        dtype=jnp.bfloat16,
+    ):
+        self.cfg = cfg
+        self.dtype = dtype
+        self.vit = VisionTransformer(cfg.dino, dtype=dtype)
+        self.head = GFNet(cfg, dtype=dtype)
+        if vit_params is None or head_vars is None:
+            vit_params, head_vars = self.init_params(jax.random.PRNGKey(seed))
+        self.vit_params = vit_params
+        self.head_vars = head_vars  # {"params": ..., "batch_stats": ...}
+
+    # ------------------------------------------------------------------ init
+    def init_params(self, key: Array):
+        kv, kh = jax.random.split(key)
+        h, w = self.cfg.initial_res
+        p = self.cfg.dino.patch_size
+        gh, gw = h // p, w // p
+        dummy = jnp.zeros((2, h, w, 3), jnp.float32)
+        vit_params = self.vit.init(kv, dummy)
+        tokens = jnp.zeros((2, gh * gw, self.cfg.dino.d_model), jnp.float32)
+        head_vars = self.head.init(
+            kh, dummy[:1], dummy[1:], tokens, symmetric=False, train=False
+        )
+        return vit_params, head_vars
+
+    # --------------------------------------------------------------- forward
+    def _vit_tokens(self, x: Array) -> Array:
+        """Frozen backbone tokens for stacked views (2B, H, W, 3)."""
+        p = self.cfg.dino.patch_size
+        h, w = x.shape[1], x.shape[2]
+        vh, vw = (h // p) * p, (w // p) * p
+        if (vh, vw) != (h, w):  # ref `network.py:158-164`
+            x = interpolate(x, (vh, vw), "bilinear", False)
+        return jax.lax.stop_gradient(self.vit.apply(self.vit_params, x))
+
+    def forward(
+        self,
+        head_vars: Any,
+        im_A: Array,
+        im_B: Array,
+        symmetric: bool = False,
+        upsample: bool = False,
+        scale_factor: float = 1.0,
+        pre_flow: Array | None = None,
+        pre_certainty: Array | None = None,
+        train: bool = False,
+        mutable: bool = False,
+    ):
+        """Full forward: frozen ViT + head. Differentiable through the head."""
+        x = jnp.concatenate([im_A, im_B], axis=0)
+        tokens = self._vit_tokens(x)
+        num_grid_override = (
+            upsample_grid_schedule(self.cfg.upsample_res, self.cfg.dino.patch_size)
+            if upsample
+            else None
+        )
+        kwargs = dict(
+            symmetric=symmetric,
+            upsample=upsample,
+            scale_factor=scale_factor,
+            pre_flow=pre_flow,
+            pre_certainty=pre_certainty,
+            train=train,
+            num_grid_override=num_grid_override,
+        )
+        if mutable:
+            return self.head.apply(head_vars, im_A, im_B, tokens, mutable=["batch_stats"], **kwargs)
+        return self.head.apply(head_vars, im_A, im_B, tokens, **kwargs)
+
+    # ----------------------------------------------------------------- match
+    @partial(jax.jit, static_argnums=(0,))
+    def _match_jit(self, head_vars, im_A_raw, im_B_raw):
+        """The full two-pass match graph (ref `network.py:285-384`).
+
+        im_*_raw: (B, H, W, 3) float in [0,1] at arbitrary (static) size.
+        Returns (warp, certainty): symmetric → warp (B, G, 2G, 4),
+        certainty (B, G, 2G); else warp (B, G, G, 4), certainty (B, G, G).
+        """
+        cfg = self.cfg
+        sym = cfg.symmetric
+        h_r, w_r = cfg.initial_res
+
+        def prep(img, size):
+            img = interpolate(img, size, "bicubic", False)
+            return imagenet_normalize(jnp.clip(img, 0.0, 1.0))
+
+        im0 = prep(im_A_raw, (h_r, w_r))
+        im1 = prep(im_B_raw, (h_r, w_r))
+        corresps = self.forward(head_vars, im0, im1, symmetric=sym)
+
+        num_itr = cfg.matcher.num_itr
+        if cfg.upsample_preds:
+            grids_up = upsample_grid_schedule(cfg.upsample_res, cfg.dino.patch_size)
+            num_itr_up = num_itr[-len(grids_up):]
+            g_final = grids_up[-1]
+        else:
+            g_final = cfg.matcher.num_grid[-1]
+
+        low_res_certainty = 0.0
+        if cfg.attenuate_cert:  # ref `network.py:332-338,360`
+            low = interpolate(
+                corresps["16"][num_itr[0]]["certainty"], (g_final, g_final), "bilinear", False
+            )
+            low_res_certainty = 0.5 * low * (low < 0)
+
+        if cfg.upsample_preds:
+            finest = corresps["1"][num_itr[-1]]
+            hs, ws = cfg.upsample_res
+            im0u = prep(im_A_raw, (hs, ws))
+            im1u = prep(im_B_raw, (hs, ws))
+            scale_factor = math.sqrt(hs * ws / (h_r * w_r))
+            corresps = self.forward(
+                head_vars,
+                im0u,
+                im1u,
+                symmetric=sym,
+                upsample=True,
+                scale_factor=scale_factor,
+                pre_flow=finest["flow"],
+                pre_certainty=finest["certainty"],
+            )
+            last_itr = num_itr_up[-1]
+        else:
+            last_itr = num_itr[-1]
+
+        flow = corresps["1"][last_itr]["flow"]  # (B', G, G, 2)
+        certainty = corresps["1"][last_itr]["certainty"] - low_res_certainty
+        certainty = jax.nn.sigmoid(certainty)[..., 0]  # (B', G, G)
+
+        g = g_final
+        bprime = flow.shape[0]
+        grid = jnp.broadcast_to(normalized_grid(g, g)[None], (bprime, g, g, 2))
+        wrong = jnp.any(jnp.abs(flow) > 1, axis=-1)
+        certainty = jnp.where(wrong, 0.0, certainty)
+        flow = jnp.clip(flow, -1, 1)
+
+        if sym:
+            b = bprime // 2
+            a_to_b, b_to_a = flow[:b], flow[b:]
+            q_warp = jnp.concatenate([grid[:b], a_to_b], axis=-1)
+            s_warp = jnp.concatenate([b_to_a, grid[:b]], axis=-1)
+            warp = jnp.concatenate([q_warp, s_warp], axis=2)  # along W
+            certainty = jnp.concatenate([certainty[:b], certainty[b:]], axis=2)
+        else:
+            warp = jnp.concatenate([grid, flow], axis=-1)
+        return warp, certainty
+
+    def match(self, im_A_raw, im_B_raw):
+        """im_*_raw: (H, W, 3) or (B, H, W, 3) float in [0,1]."""
+        im_A_raw = jnp.asarray(im_A_raw, jnp.float32)
+        im_B_raw = jnp.asarray(im_B_raw, jnp.float32)
+        batched = im_A_raw.ndim == 4
+        if not batched:
+            im_A_raw, im_B_raw = im_A_raw[None], im_B_raw[None]
+        warp, certainty = self._match_jit(self.head_vars, im_A_raw, im_B_raw)
+        if not batched:
+            return warp[0], certainty[0]
+        return warp, certainty
+
+    # ---------------------------------------------------------------- sample
+    @partial(jax.jit, static_argnums=(0, 3))
+    def _sample_jit(self, matches: Array, certainty: Array, num: int, key: Array):
+        """threshold_balanced sampling (ref `network.py:385-414`).
+
+        matches (N, 4) normalized warps, certainty (N,). Gumbel top-k is the
+        device-side equivalent of torch.multinomial(replacement=False).
+        """
+        cfg = self.cfg
+        if "threshold" in cfg.sample_mode:
+            certainty = jnp.where(certainty > cfg.sample_thresh, 1.0, certainty)
+        n = certainty.shape[0]
+        expansion = 4 if "balanced" in cfg.sample_mode else 1
+        k1, k2 = jax.random.split(key)
+
+        def gumbel_topk(weights, kk, kcount):
+            logw = jnp.log(jnp.maximum(weights, 1e-30))
+            logw = jnp.where(weights <= 0, -jnp.inf, logw)
+            u = jax.random.uniform(kk, weights.shape, minval=1e-20, maxval=1.0)
+            g = -jnp.log(-jnp.log(u))
+            _, idx = jax.lax.top_k(logw + g, kcount)
+            return idx
+
+        n_good = min(expansion * num, n)
+        good_idx = gumbel_topk(certainty, k1, n_good)
+        good_matches = matches[good_idx]
+        good_cert = certainty[good_idx]
+        if "balanced" not in cfg.sample_mode:
+            return good_matches, good_cert
+        density = kde(good_matches, std=0.1)
+        p = 1.0 / (density + 1.0)
+        p = jnp.where(density < 10, 1e-7, p)
+        bal_idx = gumbel_topk(p, k2, min(num, n_good))
+        return good_matches[bal_idx], good_cert[bal_idx]
+
+    def sample(self, matches, certainty, num: int = 5000, key: Array | None = None):
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        m = jnp.asarray(matches).reshape(-1, 4)
+        c = jnp.asarray(certainty).reshape(-1)
+        return self._sample_jit(m, c, num, key)
+
+    # ----------------------------------------------------------------- solve
+    def estimate_homography(
+        self,
+        im_A_raw,
+        im_B_raw,
+        num_matches: int = 5000,
+        key: Array | None = None,
+    ) -> Array:
+        """match → sample → on-device robust solve (ref `estimation.py:46-78`).
+
+        Returns H mapping image-A pixel coords to image-B pixel coords at the
+        ORIGINAL input resolutions (corner-aligned denormalization, ref
+        `estimation.py:26-45`).
+        """
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        hA, wA = np.asarray(im_A_raw).shape[-3:-1]
+        hB, wB = np.asarray(im_B_raw).shape[-3:-1]
+        warp, certainty = self.match(im_A_raw, im_B_raw)
+        k1, k2 = jax.random.split(key)
+        matches, _ = self.sample(warp, certainty, num_matches, k1)
+        pos_a = denormalize_corner_aligned(matches[:, :2], hA, wA)
+        pos_b = denormalize_corner_aligned(matches[:, 2:], hB, wB)
+        H, _ = ransac_homography(pos_a, pos_b, key=k2)
+        return H

@@ -1,0 +1,132 @@
+"""Per-scale ConvRefiner: iterative flow/certainty refinement head.
+
+Re-design of `model/network.py:444-564` in NHWC flax:
+  - warp target features by the current flow (grid_sample,
+    ref `network.py:537`) — a gather;
+  - resample query features onto the regular G x G grid
+    (ref `network.py:547`) — on TPU this is exactly a separable bilinear
+    resize (align_corners=False pixel centers), so it runs as two MXU
+    matmuls instead of a gather;
+  - 1x1-embed the displacement `40/32 * scale_factor * (flow - grid)`
+    (ref `network.py:549`);
+  - local correlation window (ref `network.py:553`, scales with radius>0);
+  - depthwise conv stack: block1 + 8 hidden blocks
+    (depthwise 5x5 → BN(momentum .01 torch) → ReLU → 1x1,
+    ref `network.py:505-531`), out 1x1 conv in f32 → (Δflow, Δcertainty)
+    (ref `network.py:560-563`).
+
+The local-correlation window sampling is non-differentiable in the reference
+(`disable_local_corr_grad=True`, `network.py:76`, `local_correlation.py:54`);
+we stop_gradient the sampled windows identically.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from gfnet_tpu.core.geometry import normalized_grid
+from gfnet_tpu.models.common import torch_uniform_init
+from gfnet_tpu.ops.local_correlation import local_correlation
+from gfnet_tpu.ops.resize import interpolate
+from gfnet_tpu.ops.sampler import grid_sample
+
+Array = jax.Array
+
+
+class RefineBlock(nn.Module):
+    """depthwise 5x5 conv → BN → ReLU → 1x1 conv (ref `network.py:505-531`)."""
+
+    features: int
+    kernel: int = 5
+    bn_momentum: float = 0.99  # torch 0.01
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool = False) -> Array:
+        p = self.kernel // 2
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            padding=[(p, p), (p, p)],
+            feature_group_count=self.features,
+            use_bias=True,
+            kernel_init=torch_uniform_init(),
+            dtype=self.dtype,
+            name="dw",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.bn_momentum,
+            epsilon=1e-5,
+            dtype=jnp.float32,
+            name="bn",
+        )(x).astype(self.dtype)
+        x = jax.nn.relu(x)
+        return nn.Conv(
+            self.features, (1, 1), use_bias=True,
+            kernel_init=torch_uniform_init(), dtype=self.dtype, name="pw",
+        )(x)
+
+
+class ConvRefiner(nn.Module):
+    """One coarse-to-fine refinement head (ref `network.py:444-564`)."""
+
+    hidden_dim: int
+    displacement_dim: int
+    radius: int  # local correlation radius; 0 disables (corr_in_other=False)
+    hidden_blocks: int = 8
+    kernel_size: int = 5
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(
+        self,
+        query_feat: Array,  # (B, h, w, C) view-A features at this scale
+        target_feat: Array,  # (B, h, w, C) view-B features
+        flow: Array,  # (B, G, G, 2) normalized target coords
+        scale_factor: float = 1.0,
+        train: bool = False,
+    ) -> tuple[Array, Array]:
+        g = flow.shape[1]
+        dt = self.dtype
+
+        # Warp target features to the query grid by the current flow.
+        x_hat = grid_sample(target_feat.astype(dt), flow)
+        # Query features at the regular grid = separable bilinear resize.
+        grid_feature = interpolate(query_feat.astype(dt), (g, g), "bilinear", False)
+
+        grid = normalized_grid(g, g)[None]
+        in_disp = flow - grid
+        emb = nn.Conv(
+            self.displacement_dim, (1, 1), use_bias=True,
+            kernel_init=torch_uniform_init(), dtype=dt, name="disp_emb",
+        )((40.0 / 32.0 * scale_factor * in_disp).astype(dt))
+
+        feats = [grid_feature, x_hat, emb]
+        if self.radius > 0:
+            # Only the window sampling is non-differentiable in the reference
+            # (`local_correlation.py:54`): grads flow into the query features
+            # but not through the warped target windows.
+            corr = local_correlation(
+                grid_feature.astype(jnp.float32),
+                jax.lax.stop_gradient(target_feat.astype(jnp.float32)),
+                jax.lax.stop_gradient(flow),
+                self.radius,
+            )
+            feats.append(corr.astype(dt))
+        d = jnp.concatenate(feats, axis=-1)
+        assert d.shape[-1] == self.hidden_dim, (d.shape, self.hidden_dim)
+
+        d = RefineBlock(self.hidden_dim, self.kernel_size, dtype=dt, name="block1")(d, train)
+        for i in range(self.hidden_blocks):
+            d = RefineBlock(self.hidden_dim, self.kernel_size, dtype=dt, name=f"hidden{i}")(
+                d, train
+            )
+        out = nn.Conv(
+            3, (1, 1), use_bias=True, kernel_init=torch_uniform_init(),
+            dtype=jnp.float32, name="out_conv",
+        )(d.astype(jnp.float32))
+        delta_flow, delta_cert = out[..., :2], out[..., 2:3]
+        return delta_flow, delta_cert
