@@ -32,16 +32,21 @@ class ConvBNAct(nn.Module):
     act: str = "leaky_relu"  # or "swish" or "none"
     bn_momentum: float = 0.9  # flax convention (= 1 - torch momentum)
     dtype: jnp.dtype = jnp.bfloat16
+    # The encoder's Conv2d wrapper drops conv bias under BN (`FPN.py:113`),
+    # but the decoder/merge Sequentials keep it (plain nn.Conv2d defaults,
+    # `FPN.py:43-52`, `network.py:66`) — parametrized for checkpoint parity.
+    conv_bias: bool | None = None
 
     @nn.compact
     def __call__(self, x: Array, train: bool = False) -> Array:
         p = self.kernel // 2
+        use_bias = (not self.use_bn) if self.conv_bias is None else self.conv_bias
         x = nn.Conv(
             self.features,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
             padding=[(p, p), (p, p)],
-            use_bias=not self.use_bn,
+            use_bias=use_bias,
             kernel_init=torch_uniform_init(),
             dtype=self.dtype,
             name="conv",
@@ -111,18 +116,18 @@ class FPNDecoder(nn.Module):
             ).astype(dt)
 
         intra = conv31
-        out0 = ConvBNAct(c3, 1, act="swish", dtype=dt, name="out0")(intra, train)
+        out0 = ConvBNAct(c3, 1, act="swish", dtype=dt, conv_bias=True, name="out0")(intra, train)
 
         cat = jnp.concatenate([up2(intra, conv21), conv21], axis=-1)
-        intra = conv21 + ConvBNAct(c2, 3, act="swish", dtype=dt, name="inner1")(cat, train)
-        out1 = ConvBNAct(c2, 1, act="swish", dtype=dt, name="out1")(intra, train)
+        intra = conv21 + ConvBNAct(c2, 3, act="swish", dtype=dt, conv_bias=True, name="inner1")(cat, train)
+        out1 = ConvBNAct(c2, 1, act="swish", dtype=dt, conv_bias=True, name="out1")(intra, train)
 
         cat = jnp.concatenate([up2(intra, conv11), conv11], axis=-1)
-        intra = conv11 + ConvBNAct(c1, 3, act="swish", dtype=dt, name="inner2")(cat, train)
-        out2 = ConvBNAct(c1, 1, act="swish", dtype=dt, name="out2")(intra, train)
+        intra = conv11 + ConvBNAct(c1, 3, act="swish", dtype=dt, conv_bias=True, name="inner2")(cat, train)
+        out2 = ConvBNAct(c1, 1, act="swish", dtype=dt, conv_bias=True, name="out2")(intra, train)
 
         cat = jnp.concatenate([up2(intra, conv01), conv01], axis=-1)
-        intra = conv01 + ConvBNAct(c0, 3, act="swish", dtype=dt, name="inner3")(cat, train)
-        out3 = ConvBNAct(c0, 1, act="swish", dtype=dt, name="out3")(intra, train)
+        intra = conv01 + ConvBNAct(c0, 3, act="swish", dtype=dt, conv_bias=True, name="inner3")(cat, train)
+        out3 = ConvBNAct(c0, 1, act="swish", dtype=dt, conv_bias=True, name="out3")(intra, train)
 
         return [out0, out1, out2, out3]

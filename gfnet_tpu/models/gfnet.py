@@ -58,7 +58,7 @@ class GFNet(nn.Module):
         )
         self.encoder = FPNEncoder(feat_chs=fd[::-1], dtype=self.dtype)
         self.fpn_decoder = FPNDecoder(feat_chs=fd[::-1], dtype=self.dtype)
-        self.merge_layer = ConvBNAct(fd[0], 3, act="swish", dtype=self.dtype)
+        self.merge_layer = ConvBNAct(fd[0], 3, act="swish", conv_bias=True, dtype=self.dtype)
 
         # Refiner channel bookkeeping (ref `model/network.py:77-155`).
         feat_at_scale = {"16": fd[0], "8": fd[0], "4": fd[1], "2": fd[2], "1": fd[3]}

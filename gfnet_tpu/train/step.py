@@ -1,0 +1,84 @@
+"""Sharded, jit-compiled training step.
+
+The TPU-native equivalent of `trainer/train.py:29-43` + DDP: one XLA
+executable computes forward (frozen ViT in bf16 under stop_gradient),
+multi-scale robust loss, backward, global-norm clip, AdamW update, and BN
+batch-stat refresh. The batch is sharded over the mesh's `data` axis and
+params are replicated, so XLA emits the psum gradient reduction over ICI
+where DDP used NCCL allreduce. BatchNorm reductions run over the *global*
+batch (cross-replica sync-BN, SURVEY.md §7 hard part #5).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gfnet_tpu.parallel.mesh import batch_sharding, replicated_sharding
+from gfnet_tpu.train.loss import RobustLoss
+from gfnet_tpu.train.state import TrainState
+
+Array = jax.Array
+
+
+def make_train_step(
+    matcher,
+    loss: RobustLoss,
+    mesh=None,
+    symmetric: bool = False,
+) -> Callable[[TrainState, Any, dict], tuple[TrainState, dict]]:
+    """Build the jitted train step.
+
+    matcher: GFNetMatcher (provides the vit/head modules).
+    Training forward runs symmetric=False like the reference's DDP forward
+    (`trainer/train.py:31` calls model(batch) with the default).
+
+    Returns step(state, vit_params, batch) -> (state, metrics); batch is a
+    dict with im_A/im_B (B, H, W, 3) imagenet-normalized and H_s2t (B, 3, 3).
+    """
+    head = matcher.head
+    vit = matcher.vit
+    patch = matcher.cfg.dino.patch_size
+
+    def step_fn(state: TrainState, vit_params, batch):
+        im_a, im_b, H_s2t = batch["im_A"], batch["im_B"], batch["H_s2t"]
+        x = jnp.concatenate([im_a, im_b], axis=0)
+        tokens = jax.lax.stop_gradient(vit.apply(vit_params, x))
+
+        def loss_fn(params):
+            corresps, mut = head.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                im_a,
+                im_b,
+                tokens,
+                symmetric=symmetric,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            src_hw = (im_a.shape[1], im_a.shape[2])
+            tgt_hw = (im_b.shape[1], im_b.shape[2])
+            l, metrics = loss(corresps, H_s2t, src_hw, tgt_hw)
+            return l, (metrics, mut["batch_stats"])
+
+        (l, (metrics, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["param_norm"] = optax.global_norm(state.params)
+        new_state = state.apply_gradients(grads, new_bs)
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    repl = replicated_sharding(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(
+        step_fn,
+        in_shardings=(repl, repl, bsh),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
