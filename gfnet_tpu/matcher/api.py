@@ -77,11 +77,14 @@ class GFNetMatcher:
         p = self.cfg.dino.patch_size
         gh, gw = h // p, w // p
         dummy = jnp.zeros((2, h, w, 3), jnp.float32)
-        vit_params = self.vit.init(kv, dummy)
         tokens = jnp.zeros((2, gh * gw, self.cfg.dino.d_model), jnp.float32)
-        head_vars = self.head.init(
-            kh, dummy[:1], dummy[1:], tokens, symmetric=False, train=False
+        # jit the inits: eager flax init dispatches thousands of tiny ops,
+        # which is pathological through the remote-TPU tunnel.
+        vit_params = jax.jit(self.vit.init)(kv, dummy)
+        head_init = jax.jit(
+            lambda k, a, b, t: self.head.init(k, a, b, t, symmetric=False, train=False)
         )
+        head_vars = head_init(kh, dummy[:1], dummy[1:], tokens)
         return vit_params, head_vars
 
     # --------------------------------------------------------------- forward
