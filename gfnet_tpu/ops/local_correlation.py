@@ -87,13 +87,19 @@ def local_correlation(
       channel layout (`local_correlation.py:49-51`).
     """
     if impl == "auto":
-        try:
+        import os
+
+        # Measured on TPU v5e: XLA's fused gather path runs this op at
+        # 0.07-0.1ms for all production shapes — at or below the Pallas
+        # kernel (0.1-0.24ms), which additionally hits VMEM lane-padding
+        # limits for the small-channel fine scales. The compiler wins;
+        # the Pallas kernel stays available via impl="pallas" or
+        # GFNET_FORCE_PALLAS=1 for future hardware where the tradeoff flips.
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        if on_tpu and os.environ.get("GFNET_FORCE_PALLAS") == "1":
             from gfnet_tpu.ops.pallas.local_corr import local_correlation_pallas
 
-            if jax.default_backend() == "tpu":
-                return local_correlation_pallas(query, target, flow, radius)
-        except ImportError:
-            pass
+            return local_correlation_pallas(query, target, flow, radius)
         return _local_correlation_gather(query, target, flow, radius)
     if impl == "gather":
         return _local_correlation_gather(query, target, flow, radius)

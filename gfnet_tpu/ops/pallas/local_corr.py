@@ -10,8 +10,13 @@ B*G*G*K*C*4corners values from HBM; this kernel instead:
      (2r+2)^2 patch and a 4-term shifted combine;
   2. keeps the (padded) target feature map resident in VMEM per (batch, row)
      program, so each patch read is a VMEM dynamic slice, not an HBM gather;
-  3. reorders dot-then-combine (both linear): per cell one
-     ((2r+2)^2, C) x (C,) matvec on the MXU, then a 4-term VPU combine.
+  3. reorders dot-then-combine (both linear) and batches a whole row of
+     cells: G patch copies into VMEM scratch, then ONE batched
+     (G, win^2, C) x (G, C) MXU contraction + a vectorized VPU bilinear
+     combine — no per-cell scalar compute;
+  4. feeds the per-cell integer bases through scalar-prefetch SMEM arrays
+     (PrefetchScalarGridSpec), the supported path for data-dependent slice
+     indices; fractional weights ride a VMEM operand.
 
 Zero-padding semantics of `grid_sample(padding_mode="zeros",
 align_corners=False)` are reproduced exactly by zero-padding the target with
@@ -53,91 +58,149 @@ def _precompute(flow: Array, h: int, w: int, radius: int, pad: int):
     return by, bx, fy, fx
 
 
-def _fwd_kernel(query_ref, by_ref, bx_ref, fy_ref, fx_ref, target_ref, out_ref, *, radius, g, c):
-    win = 2 * radius + 2
-    inv_sqrt_c = 1.0 / float(np.sqrt(c))
-
-    def body(j, _):
-        y = by_ref[0, j]
-        x = bx_ref[0, j]
-        patch = target_ref[0, pl.ds(y, win), pl.ds(x, win), :]  # (win, win, C)
-        q = query_ref[0, 0, j, :]  # (C,)
-        s = jnp.dot(
-            patch.reshape(win * win, c), q, preferred_element_type=jnp.float32
-        ).reshape(win, win)
-        wy = fy_ref[0, j]
-        wx = fx_ref[0, j]
-        comb = (
-            (1 - wy) * (1 - wx) * s[: win - 1, : win - 1]
-            + (1 - wy) * wx * s[: win - 1, 1:]
-            + wy * (1 - wx) * s[1:, : win - 1]
-            + wy * wx * s[1:, 1:]
-        )
-        out_ref[0, 0, j, :] = comb.reshape((win - 1) * (win - 1)) * inv_sqrt_c
+def _load_patches(by_ref, bx_ref, target_ref, patches_ref, row, g, win):
+    def copy(j, _):
+        y = by_ref[row + j]
+        x = bx_ref[row + j]
+        patches_ref[j] = target_ref[0, pl.ds(y, win), pl.ds(x, win), :]
         return 0
 
-    jax.lax.fori_loop(0, g, body, 0)
+    jax.lax.fori_loop(0, g, copy, 0)
 
 
-def _bwd_kernel(g_ref, by_ref, bx_ref, fy_ref, fx_ref, target_ref, dq_ref, *, radius, g, c):
-    """dq[j] = patch^T @ spread(g_j): adjoint of dot-then-combine."""
+def _rows_per_program(g: int) -> int:
+    """Largest row-tile in {8,4,2,1} dividing g — amortizes the per-program
+    target-block fetch (the dominant cost when every program re-pulls the
+    full padded feature map from HBM) while staying inside VMEM."""
+    for r in (8, 4, 2, 1):
+        if g % r == 0:
+            return r
+    return 1
+
+
+@functools.lru_cache(maxsize=32)
+def _selection_matrices(win: int) -> tuple[np.ndarray, ...]:
+    """Four (win^2, K) 0/1 matrices mapping the flattened patch lattice to
+    the K=(win-1)^2 window taps for each bilinear corner (dy, dx)."""
+    k = (win - 1) ** 2
+    mats = []
+    for dy in (0, 1):
+        for dx in (0, 1):
+            S = np.zeros((win * win, k), np.float32)
+            for ky in range(win - 1):
+                for kx in range(win - 1):
+                    S[(ky + dy) * win + (kx + dx), ky * (win - 1) + kx] = 1.0
+            mats.append(S)
+    return tuple(mats)
+
+
+def _corner_weights(fw, g):
+    """(g,1) bilinear corner weights in (dy,dx) = 00,01,10,11 order."""
+    fy = fw[:, 0].reshape(g, 1)
+    fx = fw[:, 1].reshape(g, 1)
+    return ((1 - fy) * (1 - fx), (1 - fy) * fx, fy * (1 - fx), fy * fx)
+
+
+def _fwd_kernel(by_ref, bx_ref, query_ref, fw_ref, sel_ref, target_ref, out_ref,
+                patches_ref, *, radius, g, c, rows):
     win = 2 * radius + 2
     inv_sqrt_c = 1.0 / float(np.sqrt(c))
+    bb = pl.program_id(0)
+    ti = pl.program_id(1)
 
-    def body(j, _):
-        y = by_ref[0, j]
-        x = bx_ref[0, j]
-        patch = target_ref[0, pl.ds(y, win), pl.ds(x, win), :]  # (win, win, C)
-        gj = g_ref[0, 0, j, :].reshape(win - 1, win - 1) * inv_sqrt_c
-        wy = fy_ref[0, j]
-        wx = fx_ref[0, j]
-        sw = jnp.zeros((win, win), jnp.float32)
-        sw = sw.at[: win - 1, : win - 1].add((1 - wy) * (1 - wx) * gj)
-        sw = sw.at[: win - 1, 1:].add((1 - wy) * wx * gj)
-        sw = sw.at[1:, : win - 1].add(wy * (1 - wx) * gj)
-        sw = sw.at[1:, 1:].add(wy * wx * gj)
-        dq_ref[0, 0, j, :] = jnp.dot(
-            sw.reshape(1, win * win),
-            patch.reshape(win * win, c),
+    def rowloop(i, _):
+        row = (bb * g + ti * rows + i) * g
+        _load_patches(by_ref, bx_ref, target_ref, patches_ref, row, g, win)
+
+        # collapse (win, win) keeping the lane (C) dim — supported reshape
+        patches = patches_ref[:].reshape(g, win * win, c)
+        q = query_ref[0, i]  # (g, C)
+        s = jax.lax.dot_general(
+            patches, q,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-        ).reshape(c)
+        )  # (g, win^2)
+
+        # bilinear combine as 4 constant-selection MXU matmuls (mosaic
+        # cannot split the lane dim win^2 back into (win, win))
+        mats = [sel_ref[a] for a in range(4)]
+        ws = _corner_weights(fw_ref[0, i], g)
+        comb = sum(
+            jnp.dot(w * s, m, preferred_element_type=jnp.float32)
+            for w, m in zip(ws, mats)
+        )  # (g, K)
+        out_ref[0, i] = comb * inv_sqrt_c
         return 0
 
-    jax.lax.fori_loop(0, g, body, 0)
+    jax.lax.fori_loop(0, rows, rowloop, 0)
 
 
-def _run(kernel, main_in, by, bx, fy, fx, target_pad, out_channels, *, radius, interpret):
-    b, _, g, _ = main_in.shape[0], None, main_in.shape[2], None
-    g1 = main_in.shape[1]
-    g2 = main_in.shape[2]
+def _bwd_kernel(by_ref, bx_ref, g_ref, fw_ref, sel_ref, target_ref, dq_ref,
+                patches_ref, *, radius, g, c, rows):
+    """dq[j] = spread(g_j) · patch_j: batched adjoint of dot-then-combine."""
+    win = 2 * radius + 2
+    inv_sqrt_c = 1.0 / float(np.sqrt(c))
+    bb = pl.program_id(0)
+    ti = pl.program_id(1)
+
+    def rowloop(i, _):
+        row = (bb * g + ti * rows + i) * g
+        _load_patches(by_ref, bx_ref, target_ref, patches_ref, row, g, win)
+
+        gj = g_ref[0, i] * inv_sqrt_c  # (g, K)
+        mats = [sel_ref[a] for a in range(4)]
+        ws = _corner_weights(fw_ref[0, i], g)
+        # adjoint of the combine: sw = sum_ab w_ab * (g @ S_ab^T), (g, win^2)
+        sw = sum(
+            w * jnp.dot(gj, m.T, preferred_element_type=jnp.float32)
+            for w, m in zip(ws, mats)
+        )
+        patches = patches_ref[:].reshape(g, win * win, c)
+        dq = jax.lax.dot_general(
+            sw, patches,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (g, C)
+        dq_ref[0, i] = dq
+        return 0
+
+    jax.lax.fori_loop(0, rows, rowloop, 0)
+
+
+def _run(kernel, main_in, by, bx, fw, target_pad, out_channels, *, radius, interpret):
+    b, g1, g2 = main_in.shape[0], main_in.shape[1], main_in.shape[2]
     hp, wp, c = target_pad.shape[1], target_pad.shape[2], target_pad.shape[3]
+    win = 2 * radius + 2
+    sel = jnp.asarray(np.stack(_selection_matrices(win)))  # (4, win^2, K)
 
-    grid = (b, g1)
-    kern = functools.partial(kernel, radius=radius, g=g2, c=c)
-    return pl.pallas_call(
-        kern,
-        grid=grid,
+    rows = _rows_per_program(g1)
+    kern = functools.partial(kernel, radius=radius, g=g2, c=c, rows=rows)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, g1 // rows),
         in_specs=[
-            pl.BlockSpec((1, 1, g2, main_in.shape[3]), lambda bb, i: (bb, i, 0, 0),
+            pl.BlockSpec((1, rows, g2, main_in.shape[3]),
+                         lambda bb, i, *prefetch: (bb, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, g2), lambda bb, i: (bb * g1 + i, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, g2), lambda bb, i: (bb * g1 + i, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, g2), lambda bb, i: (bb * g1 + i, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, g2), lambda bb, i: (bb * g1 + i, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, hp, wp, c), lambda bb, i: (bb, 0, 0, 0),
+            pl.BlockSpec((1, rows, g2, 2), lambda bb, i, *prefetch: (bb, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(sel.shape, lambda bb, i, *prefetch: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hp, wp, c), lambda bb, i, *prefetch: (bb, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, g2, out_channels), lambda bb, i: (bb, i, 0, 0),
+            (1, rows, g2, out_channels), lambda bb, i, *prefetch: (bb, i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
+        scratch_shapes=[pltpu.VMEM((g2, win, win, c), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, g1, g2, out_channels), jnp.float32),
         interpret=interpret,
-    )(main_in, by, bx, fy, fx, target_pad)
+    )(by, bx, main_in, fw, sel, target_pad)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -150,22 +213,23 @@ def local_correlation_pallas(
 
 
 def _prep(query, target, flow, radius):
-    b, g1, g2, c = query.shape
+    b, g1, g2, _ = query.shape
     _, h, w, _ = target.shape
     pad = 2 * radius + 4
     by, bx, fy, fx = _precompute(flow.astype(jnp.float32), h, w, radius, pad)
     target_pad = jnp.pad(
         target.astype(jnp.float32), ((0, 0), (pad, pad), (pad, pad), (0, 0))
     )
-    flat = lambda t: t.reshape(b * g1, g2)
-    return flat(by), flat(bx), flat(fy), flat(fx), target_pad
+    fw = jnp.stack([fy, fx], axis=-1)  # (B, G, G, 2)
+    flat = lambda t: t.reshape(b * g1 * g2)
+    return flat(by), flat(bx), fw, target_pad
 
 
 def _fwd(query, target, flow, radius, interpret):
     k = (2 * radius + 1) ** 2
-    by, bx, fy, fx, target_pad = _prep(query, target, flow, radius)
+    by, bx, fw, target_pad = _prep(query, target, flow, radius)
     out = _run(
-        _fwd_kernel, query.astype(jnp.float32), by, bx, fy, fx, target_pad, k,
+        _fwd_kernel, query.astype(jnp.float32), by, bx, fw, target_pad, k,
         radius=radius, interpret=interpret,
     )
     return out, (target, flow)
@@ -173,9 +237,9 @@ def _fwd(query, target, flow, radius, interpret):
 
 def _bwd(radius, interpret, res, g):
     target, flow = res
-    by, bx, fy, fx, target_pad = _prep(g, target, flow, radius)  # g has query's grid shape
+    by, bx, fw, target_pad = _prep(g, target, flow, radius)  # g has query's grid shape
     dq = _run(
-        _bwd_kernel, g.astype(jnp.float32), by, bx, fy, fx, target_pad,
+        _bwd_kernel, g.astype(jnp.float32), by, bx, fw, target_pad,
         target.shape[3], radius=radius, interpret=interpret,
     )
     # no grads into target/flow (reference: window sampling under no_grad)
