@@ -132,46 +132,57 @@ class GFNetMatcher:
         return self.head.apply(head_vars, im_A, im_B, tokens, **kwargs)
 
     # ----------------------------------------------------------------- match
-    @partial(jax.jit, static_argnums=(0,))
-    def _match_jit(self, head_vars, im_A_raw, im_B_raw):
-        """The full two-pass match graph (ref `network.py:285-384`).
+    def _prep_image(self, img, size):
+        img = interpolate(img, size, "bicubic", False)
+        return imagenet_normalize(jnp.clip(img, 0.0, 1.0))
 
-        im_*_raw: (B, H, W, 3) float in [0,1] at arbitrary (static) size.
-        Returns (warp, certainty): symmetric → warp (B, G, 2G, 4),
-        certainty (B, G, 2G); else warp (B, G, G, 4), certainty (B, G, G).
-        """
+    @partial(jax.jit, static_argnums=(0,))
+    def _pass1_jit(self, head_vars, im_A_raw, im_B_raw):
+        """Initial-resolution pass (ref `network.py:285-338`): resize+normalize,
+        symmetric forward at `initial_res`, certainty-attenuation prep.
+
+        Compiled separately from the upsample pass so each XLA program stays
+        a manageable size (the fused two-pass graph overwhelmed the remote
+        compiler for the flagship config)."""
         cfg = self.cfg
         sym = cfg.symmetric
         h_r, w_r = cfg.initial_res
-
-        def prep(img, size):
-            img = interpolate(img, size, "bicubic", False)
-            return imagenet_normalize(jnp.clip(img, 0.0, 1.0))
-
-        im0 = prep(im_A_raw, (h_r, w_r))
-        im1 = prep(im_B_raw, (h_r, w_r))
+        im0 = self._prep_image(im_A_raw, (h_r, w_r))
+        im1 = self._prep_image(im_B_raw, (h_r, w_r))
         corresps = self.forward(head_vars, im0, im1, symmetric=sym)
 
         num_itr = cfg.matcher.num_itr
         if cfg.upsample_preds:
             grids_up = upsample_grid_schedule(cfg.upsample_res, cfg.dino.patch_size)
-            num_itr_up = num_itr[-len(grids_up):]
             g_final = grids_up[-1]
         else:
             g_final = cfg.matcher.num_grid[-1]
 
-        low_res_certainty = 0.0
+        low_res_certainty = jnp.zeros_like(
+            interpolate(
+                corresps["16"][num_itr[0]]["certainty"], (g_final, g_final), "bilinear", False
+            )
+        )
         if cfg.attenuate_cert:  # ref `network.py:332-338,360`
             low = interpolate(
                 corresps["16"][num_itr[0]]["certainty"], (g_final, g_final), "bilinear", False
             )
             low_res_certainty = 0.5 * low * (low < 0)
+        finest = corresps["1"][num_itr[-1]]
+        return finest["flow"], finest["certainty"], low_res_certainty
 
+    @partial(jax.jit, static_argnums=(0,))
+    def _pass2_jit(self, head_vars, im_A_raw, im_B_raw, pre_flow, pre_cert, low_res_certainty):
+        """Upsample-refinement pass + final warp stitch (ref `network.py:339-384`)."""
+        cfg = self.cfg
+        sym = cfg.symmetric
+        h_r, w_r = cfg.initial_res
+        num_itr = cfg.matcher.num_itr
         if cfg.upsample_preds:
-            finest = corresps["1"][num_itr[-1]]
             hs, ws = cfg.upsample_res
-            im0u = prep(im_A_raw, (hs, ws))
-            im1u = prep(im_B_raw, (hs, ws))
+            grids_up = upsample_grid_schedule(cfg.upsample_res, cfg.dino.patch_size)
+            im0u = self._prep_image(im_A_raw, (hs, ws))
+            im1u = self._prep_image(im_B_raw, (hs, ws))
             scale_factor = math.sqrt(hs * ws / (h_r * w_r))
             corresps = self.forward(
                 head_vars,
@@ -180,16 +191,18 @@ class GFNetMatcher:
                 symmetric=sym,
                 upsample=True,
                 scale_factor=scale_factor,
-                pre_flow=finest["flow"],
-                pre_certainty=finest["certainty"],
+                pre_flow=pre_flow,
+                pre_certainty=pre_cert,
             )
-            last_itr = num_itr_up[-1]
+            g_final = grids_up[-1]
+            last_itr = num_itr[-len(grids_up):][-1]
+            flow = corresps["1"][last_itr]["flow"]
+            certainty = corresps["1"][last_itr]["certainty"]
         else:
-            last_itr = num_itr[-1]
+            g_final = cfg.matcher.num_grid[-1]
+            flow, certainty = pre_flow, pre_cert
 
-        flow = corresps["1"][last_itr]["flow"]  # (B', G, G, 2)
-        certainty = corresps["1"][last_itr]["certainty"] - low_res_certainty
-        certainty = jax.nn.sigmoid(certainty)[..., 0]  # (B', G, G)
+        certainty = jax.nn.sigmoid(certainty - low_res_certainty)[..., 0]
 
         g = g_final
         bprime = flow.shape[0]
@@ -216,7 +229,10 @@ class GFNetMatcher:
         batched = im_A_raw.ndim == 4
         if not batched:
             im_A_raw, im_B_raw = im_A_raw[None], im_B_raw[None]
-        warp, certainty = self._match_jit(self.head_vars, im_A_raw, im_B_raw)
+        pre_flow, pre_cert, low = self._pass1_jit(self.head_vars, im_A_raw, im_B_raw)
+        warp, certainty = self._pass2_jit(
+            self.head_vars, im_A_raw, im_B_raw, pre_flow, pre_cert, low
+        )
         if not batched:
             return warp[0], certainty[0]
         return warp, certainty

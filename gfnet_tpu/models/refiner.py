@@ -70,6 +70,23 @@ class RefineBlock(nn.Module):
         )(x)
 
 
+class _HiddenScanBody(nn.Module):
+    """Adapter so the 8 identical hidden blocks run as one nn.scan
+    (single compiled body; params/batch_stats stacked on a depth axis)."""
+
+    features: int
+    kernel: int
+    train: bool
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x: Array, _):
+        y = RefineBlock(self.features, self.kernel, dtype=self.dtype, name="block")(
+            x, self.train
+        )
+        return y, None
+
+
 class ConvRefiner(nn.Module):
     """One coarse-to-fine refinement head (ref `network.py:444-564`)."""
 
@@ -120,10 +137,16 @@ class ConvRefiner(nn.Module):
         assert d.shape[-1] == self.hidden_dim, (d.shape, self.hidden_dim)
 
         d = RefineBlock(self.hidden_dim, self.kernel_size, dtype=dt, name="block1")(d, train)
-        for i in range(self.hidden_blocks):
-            d = RefineBlock(self.hidden_dim, self.kernel_size, dtype=dt, name=f"hidden{i}")(
-                d, train
-            )
+        Scanned = nn.scan(
+            _HiddenScanBody,
+            variable_axes={"params": 0, "batch_stats": 0},
+            split_rngs={"params": True},
+            length=self.hidden_blocks,
+            metadata_params={nn.meta.PARTITION_NAME: None},
+        )
+        d, _ = Scanned(
+            self.hidden_dim, self.kernel_size, train, dt, name="hidden"
+        )(d, None)
         out = nn.Conv(
             3, (1, 1), use_bias=True, kernel_init=torch_uniform_init(),
             dtype=jnp.float32, name="out_conv",

@@ -83,6 +83,24 @@ class Block(nn.Module):
         return x + LayerScale(self.dim, self.init_values, name="ls2")(h)
 
 
+class _BlockScanBody(nn.Module):
+    """(carry, _) → (carry, None) adapter so Block scans under nn.scan."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float
+    init_values: float
+    dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, x: Array, _):
+        y = Block(
+            self.dim, self.num_heads, self.mlp_ratio, self.init_values,
+            self.dtype, name="block",
+        )(x)
+        return y, None
+
+
 class VisionTransformer(nn.Module):
     """DINOv2-style ViT (ref `model/transformer/dinov2.py:43-297`).
 
@@ -125,15 +143,25 @@ class VisionTransformer(nn.Module):
             self.dtype
         )
 
-        for i in range(cfg.depth):
-            tok = Block(
-                cfg.d_model,
-                cfg.num_heads,
-                cfg.mlp_ratio,
-                cfg.init_values,
-                self.dtype,
-                name=f"block{i}",
-            )(tok)
+        # The 24 identical blocks run as ONE nn.scan over stacked params:
+        # a single traced/compiled block body instead of `depth` inlined
+        # copies — cuts XLA trace+compile time ~depth-fold for ViT-L while
+        # the steady-state schedule is unchanged.
+        ScannedBlock = nn.scan(
+            _BlockScanBody,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=cfg.depth,
+            metadata_params={nn.meta.PARTITION_NAME: None},
+        )
+        tok, _ = ScannedBlock(
+            cfg.d_model,
+            cfg.num_heads,
+            cfg.mlp_ratio,
+            cfg.init_values,
+            self.dtype,
+            name="blocks",
+        )(tok, None)
         tok = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(tok)
         return tok[:, 1:]  # drop cls — x_norm_patchtokens
 

@@ -49,23 +49,32 @@ def convert_dinov2_state_dict(sd: Mapping[str, Any]) -> dict:
     n_blocks = 1 + max(
         int(k.split(".")[1]) for k in sd if k.startswith("blocks.")
     )
-    for i in range(n_blocks):
-        t = f"blocks.{i}."
-        o = f"block{i}/"
-        _set(p, o + "norm1/scale", sd[t + "norm1.weight"])
-        _set(p, o + "norm1/bias", sd[t + "norm1.bias"])
-        _set(p, o + "attn/qkv/kernel", _t_lin(sd[t + "attn.qkv.weight"]))
-        _set(p, o + "attn/qkv/bias", sd[t + "attn.qkv.bias"])
-        _set(p, o + "attn/proj/kernel", _t_lin(sd[t + "attn.proj.weight"]))
-        _set(p, o + "attn/proj/bias", sd[t + "attn.proj.bias"])
-        _set(p, o + "ls1/gamma", sd[t + "ls1.gamma"])
-        _set(p, o + "ls2/gamma", sd[t + "ls2.gamma"])
-        _set(p, o + "norm2/scale", sd[t + "norm2.weight"])
-        _set(p, o + "norm2/bias", sd[t + "norm2.bias"])
-        _set(p, o + "mlp/fc1/kernel", _t_lin(sd[t + "mlp.fc1.weight"]))
-        _set(p, o + "mlp/fc1/bias", sd[t + "mlp.fc1.bias"])
-        _set(p, o + "mlp/fc2/kernel", _t_lin(sd[t + "mlp.fc2.weight"]))
-        _set(p, o + "mlp/fc2/bias", sd[t + "mlp.fc2.bias"])
+    # Blocks run as one nn.scan over stacked params (models/vit.py): each
+    # leaf gets a leading depth axis under blocks/block/...
+    pairs = [
+        ("norm1/scale", "norm1.weight", None),
+        ("norm1/bias", "norm1.bias", None),
+        ("attn/qkv/kernel", "attn.qkv.weight", _t_lin),
+        ("attn/qkv/bias", "attn.qkv.bias", None),
+        ("attn/proj/kernel", "attn.proj.weight", _t_lin),
+        ("attn/proj/bias", "attn.proj.bias", None),
+        ("ls1/gamma", "ls1.gamma", None),
+        ("ls2/gamma", "ls2.gamma", None),
+        ("norm2/scale", "norm2.weight", None),
+        ("norm2/bias", "norm2.bias", None),
+        ("mlp/fc1/kernel", "mlp.fc1.weight", _t_lin),
+        ("mlp/fc1/bias", "mlp.fc1.bias", None),
+        ("mlp/fc2/kernel", "mlp.fc2.weight", _t_lin),
+        ("mlp/fc2/bias", "mlp.fc2.bias", None),
+    ]
+    for flax_path, torch_name, tf in pairs:
+        stacked = np.stack(
+            [
+                (tf(sd[f"blocks.{i}.{torch_name}"]) if tf else sd[f"blocks.{i}.{torch_name}"])
+                for i in range(n_blocks)
+            ]
+        )
+        _set(p, "blocks/block/" + flax_path, stacked)
     _set(p, "norm/scale", sd["norm.weight"])
     _set(p, "norm/bias", sd["norm.bias"])
     return p
@@ -154,11 +163,29 @@ def convert_gfnet_head_state_dict(sd: Mapping[str, Any]) -> dict:
             _set(p, ob + "pw/bias", sd[tb + "3.bias"])
 
         block(t + "block1.", o + "block1/")
+        # hidden blocks run under nn.scan → stacked on a leading depth axis
         n_hidden = len(
             {k.split(".")[3] for k in sd if k.startswith(t + "hidden_blocks.")}
         )
-        for j in range(n_hidden):
-            block(t + f"hidden_blocks.{j}.", o + f"hidden{j}/")
+        hpairs = [
+            (p, "dw/kernel", "0.weight", _t_conv),
+            (p, "dw/bias", "0.bias", None),
+            (p, "bn/scale", "1.weight", None),
+            (p, "bn/bias", "1.bias", None),
+            (bs, "bn/mean", "1.running_mean", None),
+            (bs, "bn/var", "1.running_var", None),
+            (p, "pw/kernel", "3.weight", _t_conv),
+            (p, "pw/bias", "3.bias", None),
+        ]
+        for tree, fpath, tname, tf in hpairs:
+            stacked = np.stack(
+                [
+                    (tf(sd[t + f"hidden_blocks.{j}.{tname}"]) if tf
+                     else sd[t + f"hidden_blocks.{j}.{tname}"])
+                    for j in range(n_hidden)
+                ]
+            )
+            _set(tree, o + "hidden/block/" + fpath, stacked)
         _set(p, o + "out_conv/kernel", _t_conv(sd[t + "out_conv.weight"]))
         _set(p, o + "out_conv/bias", sd[t + "out_conv.bias"])
 
