@@ -68,6 +68,22 @@ def _local_correlation_gather(
     return out[..., :k]
 
 
+def local_correlation_multilevel(
+    query: Array, target: Array, flow: Array, radius: int, num_levels: int
+) -> Array:
+    """Multi-level variant over an avg-pooled target pyramid
+    (ref `utils/local_correlation.py:61-71`; unused by the shipped configs —
+    num_level=1 everywhere — but part of the op surface). Returns
+    (B, G, G, num_levels * (2r+1)^2), level-major like the reference."""
+    outs = []
+    t = target
+    for _ in range(num_levels):
+        outs.append(_local_correlation_gather(query, t, flow, radius))
+        b, h, w, c = t.shape
+        t = t.reshape(b, h // 2, 2, w // 2, 2, c).mean(axis=(2, 4))  # avg_pool2d
+    return jnp.concatenate(outs, axis=-1)
+
+
 def local_correlation(
     query: Array,
     target: Array,
