@@ -88,14 +88,18 @@ class GFNetMatcher:
         return vit_params, head_vars
 
     # --------------------------------------------------------------- forward
-    def _vit_tokens(self, x: Array) -> Array:
-        """Frozen backbone tokens for stacked views (2B, H, W, 3)."""
+    def _vit_tokens(self, vit_params: Any, x: Array) -> Array:
+        """Frozen backbone tokens for stacked views (2B, H, W, 3).
+
+        vit_params must be threaded as a traced argument — closing over it
+        would bake the 1.2 GB ViT-L weights into the serialized XLA program
+        (which overflows the remote compiler's upload limit)."""
         p = self.cfg.dino.patch_size
         h, w = x.shape[1], x.shape[2]
         vh, vw = (h // p) * p, (w // p) * p
         if (vh, vw) != (h, w):  # ref `network.py:158-164`
             x = interpolate(x, (vh, vw), "bilinear", False)
-        return jax.lax.stop_gradient(self.vit.apply(self.vit_params, x))
+        return jax.lax.stop_gradient(self.vit.apply(vit_params, x))
 
     def forward(
         self,
@@ -109,10 +113,13 @@ class GFNetMatcher:
         pre_certainty: Array | None = None,
         train: bool = False,
         mutable: bool = False,
+        vit_params: Any = None,
     ):
         """Full forward: frozen ViT + head. Differentiable through the head."""
         x = jnp.concatenate([im_A, im_B], axis=0)
-        tokens = self._vit_tokens(x)
+        tokens = self._vit_tokens(
+            self.vit_params if vit_params is None else vit_params, x
+        )
         num_grid_override = (
             upsample_grid_schedule(self.cfg.upsample_res, self.cfg.dino.patch_size)
             if upsample
@@ -137,7 +144,7 @@ class GFNetMatcher:
         return imagenet_normalize(jnp.clip(img, 0.0, 1.0))
 
     @partial(jax.jit, static_argnums=(0,))
-    def _pass1_jit(self, head_vars, im_A_raw, im_B_raw):
+    def _pass1_jit(self, head_vars, vit_params, im_A_raw, im_B_raw):
         """Initial-resolution pass (ref `network.py:285-338`): resize+normalize,
         symmetric forward at `initial_res`, certainty-attenuation prep.
 
@@ -149,7 +156,7 @@ class GFNetMatcher:
         h_r, w_r = cfg.initial_res
         im0 = self._prep_image(im_A_raw, (h_r, w_r))
         im1 = self._prep_image(im_B_raw, (h_r, w_r))
-        corresps = self.forward(head_vars, im0, im1, symmetric=sym)
+        corresps = self.forward(head_vars, im0, im1, symmetric=sym, vit_params=vit_params)
 
         num_itr = cfg.matcher.num_itr
         if cfg.upsample_preds:
@@ -172,7 +179,8 @@ class GFNetMatcher:
         return finest["flow"], finest["certainty"], low_res_certainty
 
     @partial(jax.jit, static_argnums=(0,))
-    def _pass2_jit(self, head_vars, im_A_raw, im_B_raw, pre_flow, pre_cert, low_res_certainty):
+    def _pass2_jit(self, head_vars, vit_params, im_A_raw, im_B_raw, pre_flow, pre_cert,
+                   low_res_certainty):
         """Upsample-refinement pass + final warp stitch (ref `network.py:339-384`)."""
         cfg = self.cfg
         sym = cfg.symmetric
@@ -193,6 +201,7 @@ class GFNetMatcher:
                 scale_factor=scale_factor,
                 pre_flow=pre_flow,
                 pre_certainty=pre_cert,
+                vit_params=vit_params,
             )
             g_final = grids_up[-1]
             last_itr = num_itr[-len(grids_up):][-1]
@@ -229,9 +238,11 @@ class GFNetMatcher:
         batched = im_A_raw.ndim == 4
         if not batched:
             im_A_raw, im_B_raw = im_A_raw[None], im_B_raw[None]
-        pre_flow, pre_cert, low = self._pass1_jit(self.head_vars, im_A_raw, im_B_raw)
+        pre_flow, pre_cert, low = self._pass1_jit(
+            self.head_vars, self.vit_params, im_A_raw, im_B_raw
+        )
         warp, certainty = self._pass2_jit(
-            self.head_vars, im_A_raw, im_B_raw, pre_flow, pre_cert, low
+            self.head_vars, self.vit_params, im_A_raw, im_B_raw, pre_flow, pre_cert, low
         )
         if not batched:
             return warp[0], certainty[0]
