@@ -25,7 +25,11 @@ from flax import linen as nn
 
 from gfnet_tpu.config import DecoderConfig
 from gfnet_tpu.models.common import LayerScale
-from gfnet_tpu.ops.attention import entropy_invariant_scale, scaled_dot_product_attention
+from gfnet_tpu.ops.attention import (
+    entropy_invariant_scale,
+    linear_attention,
+    scaled_dot_product_attention,
+)
 
 Array = jax.Array
 
@@ -55,6 +59,9 @@ class CrossAttention(nn.Module):
     num_heads: int
     train_avg_length: int | None
     dtype: jnp.dtype = jnp.bfloat16
+    # "FLASH2"/"XFormers" → fused XLA SDPA; "Linear" → elu+1 linear attention
+    # (the reference's get_attention_type dispatch, `attention.py:39-48`)
+    attention_type: str = "FLASH2"
 
     @nn.compact
     def __call__(self, x: Array, key: Array, value: Array) -> Array:
@@ -66,8 +73,11 @@ class CrossAttention(nn.Module):
         q = q.reshape(b, n, self.num_heads, hd)
         k = k.reshape(b, -1, self.num_heads, hd)
         v = v.reshape(b, -1, self.num_heads, hd)
-        scale = entropy_invariant_scale(hd, n, self.train_avg_length)
-        out = scaled_dot_product_attention(q, k, v, scale=scale).reshape(b, n, c)
+        if self.attention_type == "Linear":
+            out = linear_attention(q, k, v).reshape(b, n, c)
+        else:
+            scale = entropy_invariant_scale(hd, n, self.train_avg_length)
+            out = scaled_dot_product_attention(q, k, v, scale=scale).reshape(b, n, c)
         return nn.Dense(self.dim, use_bias=True, dtype=self.dtype, name="proj")(out)
 
 
@@ -88,15 +98,25 @@ class CrossBlock(nn.Module):
             xq, key, value = norm(x), norm(key), norm(value)
         else:
             xq = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        h = CrossAttention(self.dim, self.num_heads, train_len, self.dtype, name="attn")(
-            xq, key, value
-        )
+        h = CrossAttention(
+            self.dim, self.num_heads, train_len, self.dtype,
+            attention_type=cfg.attention_type, name="attn",
+        )(xq, key, value)
         x = x + LayerScale(self.dim, cfg.init_values, name="ls1")(h)
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         hidden = int(self.dim * cfg.mlp_ratio)
-        h = nn.Dense(hidden, dtype=self.dtype, name="mlp_fc1")(h)
-        h = jax.nn.gelu(h, approximate=False)
-        h = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(h)
+        if cfg.ffn_type == "glu":
+            # SwiGLU FFN (ref `layers/swiglu_ffn.py:13-42`): fused w12 then
+            # silu(x1) * x2 → w3
+            h12 = nn.Dense(2 * hidden, dtype=self.dtype, name="mlp_w12")(h)
+            x1, x2 = jnp.split(h12, 2, axis=-1)
+            h = nn.Dense(self.dim, dtype=self.dtype, name="mlp_w3")(
+                jax.nn.silu(x1) * x2
+            )
+        else:
+            h = nn.Dense(hidden, dtype=self.dtype, name="mlp_fc1")(h)
+            h = jax.nn.gelu(h, approximate=False)
+            h = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(h)
         return x + LayerScale(self.dim, cfg.init_values, name="ls2")(h)
 
 

@@ -184,9 +184,27 @@ def interpolate_pos_encoding(pos: Array, gh: int, gw: int, base: int) -> Array:
     return jnp.concatenate([cls_pos, out], axis=1)
 
 
+def vit_small(**kw) -> VisionTransformer:
+    """ViT-S/14 factory (ref `dinov2.py:307-317`)."""
+    cfg = DinoConfig(d_model=384, depth=12, num_heads=6, patch_size=14, pos_embed_size=37)
+    return VisionTransformer(cfg, **kw)
+
+
+def vit_base(**kw) -> VisionTransformer:
+    """ViT-B/14 factory (ref `dinov2.py:320-330`)."""
+    cfg = DinoConfig(d_model=768, depth=12, num_heads=12, patch_size=14, pos_embed_size=37)
+    return VisionTransformer(cfg, **kw)
+
+
 def vit_large(**kw) -> VisionTransformer:
     """ViT-L/14 factory (ref `dinov2.py:333-343` + `model/network.py:48-53`)."""
     cfg = DinoConfig(d_model=1024, depth=24, num_heads=16, patch_size=14, pos_embed_size=37)
+    return VisionTransformer(cfg, **kw)
+
+
+def vit_giant2(**kw) -> VisionTransformer:
+    """ViT-g/14 factory (ref `dinov2.py:346-359`)."""
+    cfg = DinoConfig(d_model=1536, depth=40, num_heads=24, patch_size=14, pos_embed_size=37)
     return VisionTransformer(cfg, **kw)
 
 

@@ -40,3 +40,19 @@ def scaled_dot_product_attention(
     ) * scale
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     return jnp.einsum("bhnm,bmhd->bnhd", probs, v)
+
+
+def linear_attention(q: Array, k: Array, v: Array, eps: float = 1e-6) -> Array:
+    """elu(x)+1 linear attention (ref `attention.py:261-291`
+    CrossLinearAttention, the config-selectable O(N) variant).
+
+    q, k, v: (B, N, H, D) → (B, N, H, D), computed in f32 like the reference's
+    autocast-disabled block (`attention.py:277`).
+    """
+    q = jax.nn.elu(q.astype(jnp.float32)) + 1
+    k = jax.nn.elu(k.astype(jnp.float32)) + 1
+    v32 = v.astype(jnp.float32)
+    kv = jnp.einsum("bshd,bshm->bhmd", k, v32)  # (B, H, D_v, D_k)
+    z = 1.0 / (jnp.einsum("blhd,bhd->blh", q, jnp.sum(k, axis=1)) + eps)
+    out = jnp.einsum("blhd,bhmd,blh->blhm", q, kv, z)
+    return out.astype(v.dtype)

@@ -68,6 +68,11 @@ def make_train_step(
         )
         metrics["grad_norm"] = optax.global_norm(grads)
         metrics["param_norm"] = optax.global_norm(state.params)
+        # NaN/Inf-gradient telemetry (ref `trainer/train.py:21-25`)
+        metrics["nonfinite_grad_leaves"] = sum(
+            jnp.any(~jnp.isfinite(g)).astype(jnp.int32)
+            for g in jax.tree_util.tree_leaves(grads)
+        )
         new_state = state.apply_gradients(grads, new_bs)
         return new_state, metrics
 
