@@ -16,7 +16,13 @@ Array = jax.Array
 
 
 def kde(x: Array, std: float = 0.1, block: int = 4096) -> Array:
-    """density[i] = sum_j exp(-|x_i - x_j|^2 / (2 std^2)); x: (N, D)."""
+    """density[i] = sum_j exp(-|x_i - x_j|^2 / (2 std^2)); x: (N, D).
+
+    Stays f32: with std=0.1 the exponent is 50*d^2, so bf16's ~0.8% relative
+    error on the cross terms would swing densities by factors of e^±1
+    (fp16, which the reference uses, is 8x finer). The cross matmul has
+    contraction dim D=4 — bandwidth-trivial either way.
+    """
     n, d = x.shape
     x = x.astype(jnp.float32)
     sq = jnp.sum(x * x, axis=-1)  # (N,)
@@ -29,7 +35,8 @@ def kde(x: Array, std: float = 0.1, block: int = 4096) -> Array:
 
     def row_block(args):
         xb, sqb = args  # (block, D), (block,)
-        d2 = sqb[:, None] + sq[None, :] - 2.0 * (xb @ x.T)
+        cross = jnp.dot(xb, x.T, preferred_element_type=jnp.float32)
+        d2 = sqb[:, None] + sq[None, :] - 2.0 * cross
         d2 = jnp.maximum(d2, 0.0)
         return jnp.sum(jnp.exp(d2 * inv), axis=-1)
 
