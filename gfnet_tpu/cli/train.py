@@ -42,6 +42,11 @@ def main(argv=None):
     parser.add_argument("--log_every", type=int, default=50)
     parser.add_argument("--tiny", action="store_true",
                         help="debug: tiny architecture + CPU-friendly sizes")
+    parser.add_argument("--eval_after", action="store_true",
+                        help="run the homography benchmark on the val split after training "
+                             "(the reference wires this too but its call crashes, "
+                             "SURVEY.md appendix)")
+    parser.add_argument("--eval_max_pairs", type=int, default=None)
     args, _ = parser.parse_known_args(argv)
 
     if args.multihost:
@@ -149,6 +154,24 @@ def main(argv=None):
         sys.exit(0)
     ckpt.save(state)
     print("training complete")
+
+    if args.eval_after and proc == 0:
+        from gfnet_tpu.eval.benchmark import HomographyBenchmark
+
+        matcher.head_vars = {"params": state.params, "batch_stats": state.batch_stats}
+        val_name = {"glunet_448x448_occlusion": "mscoco"}.get(args.dataset, args.dataset)
+        try:
+            val_ds = HomographyDataset(
+                dataset=val_name, mode="val", data_path=args.data_path,
+                input_resolution=cfg.initial_res,
+            )
+            results = HomographyBenchmark(val_ds).run(
+                matcher, max_pairs=args.eval_max_pairs
+            )
+            logger.log(results, step=step_i * global_batch)
+            print(json.dumps(results, indent=2))
+        except (KeyError, FileNotFoundError) as e:
+            print(f"eval_after skipped: val data unavailable ({e})")
 
 
 if __name__ == "__main__":
