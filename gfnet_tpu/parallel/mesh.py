@@ -38,3 +38,39 @@ def shard_batch(mesh: Mesh, batch, axis_name: str = "data"):
     """Place a host-local pytree of arrays batch-sharded on the mesh."""
     sh = batch_sharding(mesh, axis_name)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def fsdp_param_sharding(mesh: Mesh, params, axis_name: str = "data", min_size: int = 2**16):
+    """FSDP-style sharding spec for a (frozen) param tree.
+
+    Each large leaf is sharded on its largest mesh-divisible axis over
+    `axis_name`; XLA inserts (and overlaps) the all-gathers at use sites.
+    The reference replicates the 0.3B-param DINOv2 on every DDP rank
+    (`model/network.py:58`); sharding it over the data axis cuts its HBM
+    footprint by the mesh size (SURVEY.md §2.4 "optionally fsdp for the
+    frozen ViT"). Small leaves stay replicated.
+    """
+    n = mesh.shape[axis_name]
+
+    def spec(x):
+        if x.size < min_size:
+            return NamedSharding(mesh, P())
+        dims = list(x.shape)
+        # largest divisible axis
+        best = None
+        for i, d in enumerate(dims):
+            if d % n == 0 and (best is None or d > dims[best]):
+                best = i
+        if best is None:
+            return NamedSharding(mesh, P())
+        parts = [None] * len(dims)
+        parts[best] = axis_name
+        return NamedSharding(mesh, P(*parts))
+
+    return jax.tree_util.tree_map(spec, params)
+
+
+def shard_params(mesh: Mesh, params, axis_name: str = "data"):
+    """Place params according to :func:`fsdp_param_sharding`."""
+    shardings = fsdp_param_sharding(mesh, params, axis_name)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)

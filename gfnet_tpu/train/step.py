@@ -29,6 +29,8 @@ def make_train_step(
     loss: RobustLoss,
     mesh=None,
     symmetric: bool = False,
+    fsdp_vit: bool = False,
+    fsdp_min_size: int = 2**16,
 ) -> Callable[[TrainState, Any, dict], tuple[TrainState, dict]]:
     """Build the jitted train step.
 
@@ -81,9 +83,15 @@ def make_train_step(
 
     repl = replicated_sharding(mesh)
     bsh = batch_sharding(mesh)
+    if fsdp_vit:
+        from gfnet_tpu.parallel.mesh import fsdp_param_sharding
+
+        vit_sh = fsdp_param_sharding(mesh, matcher.vit_params, min_size=fsdp_min_size)
+    else:
+        vit_sh = repl
     return jax.jit(
         step_fn,
-        in_shardings=(repl, repl, bsh),
+        in_shardings=(repl, vit_sh, bsh),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
