@@ -25,7 +25,7 @@ from flax import linen as nn
 
 from gfnet_tpu.config import DinoConfig
 from gfnet_tpu.models.common import LayerScale
-from gfnet_tpu.ops.attention import scaled_dot_product_attention
+from gfnet_tpu.ops.attention import fused_attention
 from gfnet_tpu.ops.resize import interpolate
 
 Array = jax.Array
@@ -45,7 +45,10 @@ class Attention(nn.Module):
         qkv = nn.Dense(3 * self.dim, use_bias=True, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b, n, 3, self.num_heads, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        out = scaled_dot_product_attention(q, k, v)
+        # flash attention on TPU: the ViT's (B, H, 1025, 1025) logits would
+        # otherwise be materialized in f32 every block (profiled as the
+        # backbone's dominant HBM traffic)
+        out = fused_attention(q, k, v)
         out = out.reshape(b, n, c)
         return nn.Dense(self.dim, use_bias=True, dtype=self.dtype, name="proj")(out)
 

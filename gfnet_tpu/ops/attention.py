@@ -42,6 +42,58 @@ def scaled_dot_product_attention(
     return jnp.einsum("bhnm,bmhd->bnhd", probs, v)
 
 
+def fused_attention(
+    q: Array, k: Array, v: Array, scale: float | None = None
+) -> Array:
+    """Flash attention on TPU (Pallas kernel, no N x N logit materialization),
+    einsum fallback elsewhere.
+
+    q, k, v: (B, N, H, D). The ViT's N = grid^2+1 is not lane-aligned, so
+    sequences are padded to a multiple of 512 with segment-id masking (padded
+    keys are in a different segment than real queries). Numerically this is
+    the same f32-accumulator softmax as the reference's flash-attn
+    (`attention.py:141-170`), unlike a bf16-materialized-logits shortcut.
+    """
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    if jax.default_backend() not in ("tpu", "axon"):
+        return scaled_dot_product_attention(q, k, v, scale)
+
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+        flash_attention,
+    )
+
+    b, n, h, d = q.shape
+    nk = k.shape[1]
+    blk = 512
+    np_ = -(-n // blk) * blk
+    npk = -(-nk // blk) * blk
+
+    def pad_seq(x, target):
+        return jnp.pad(x, ((0, 0), (0, target - x.shape[1]), (0, 0), (0, 0)))
+
+    qp = jnp.moveaxis(pad_seq(q, np_), 1, 2)  # (B, H, Np, D)
+    kp = jnp.moveaxis(pad_seq(k, npk), 1, 2)
+    vp = jnp.moveaxis(pad_seq(v, npk), 1, 2)
+    seg_q = (jnp.arange(np_) < n).astype(jnp.int32)[None].repeat(b, 0)
+    seg_kv = (jnp.arange(npk) < nk).astype(jnp.int32)[None].repeat(b, 0)
+    bs = BlockSizes(
+        block_q=min(blk, np_), block_k_major=min(blk, npk), block_k=min(blk, npk),
+        block_b=1,
+        block_q_major_dkv=min(blk, np_), block_k_major_dkv=min(blk, npk),
+        block_k_dkv=min(blk, npk), block_q_dkv=min(blk, np_),
+        block_k_major_dq=min(blk, npk), block_k_dq=min(blk, npk),
+        block_q_dq=min(blk, np_),
+    )
+    out = flash_attention(
+        qp, kp, vp, segment_ids=SegmentIds(q=seg_q, kv=seg_kv),
+        sm_scale=float(scale), block_sizes=bs,
+    )
+    return jnp.moveaxis(out, 1, 2)[:, :n]
+
+
 def linear_attention(q: Array, k: Array, v: Array, eps: float = 1e-6) -> Array:
     """elu(x)+1 linear attention (ref `attention.py:261-291`
     CrossLinearAttention, the config-selectable O(N) variant).

@@ -116,3 +116,32 @@ def test_kde_matches_torch_cdist():
     ref = (-torch.cdist(t, t) ** 2 / (2 * std**2)).exp().sum(dim=-1).numpy()
     ours = np.asarray(kde(jnp.asarray(x), std=std, block=128))
     np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("radius,g,h", [(2, 8, 8), (3, 8, 14), (1, 4, 6)])
+def test_local_correlation_patch_matches_reference(radius, g, h):
+    from gfnet_tpu.ops.local_correlation import _local_correlation_patch
+
+    rng = np.random.default_rng(7)
+    c = 8
+    query = rng.standard_normal((2, g, g, c)).astype(np.float32)
+    target = rng.standard_normal((2, h, h, c)).astype(np.float32)
+    flow = rng.uniform(-1.4, 1.4, (2, g, g, 2)).astype(np.float32)
+    ours = np.asarray(
+        _local_correlation_patch(jnp.asarray(query), jnp.asarray(target), jnp.asarray(flow), radius)
+    )
+    ref = _local_corr_torch_reference(query, target, flow, radius)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_local_correlation_patch_grad_flows_to_query():
+    from gfnet_tpu.ops.local_correlation import _local_correlation_patch, _local_correlation_gather
+    import jax
+
+    rng = np.random.default_rng(8)
+    q = jnp.asarray(rng.standard_normal((1, 6, 6, 4)).astype(np.float32))
+    t = jnp.asarray(rng.standard_normal((1, 9, 9, 4)).astype(np.float32))
+    f = jnp.asarray(rng.uniform(-1, 1, (1, 6, 6, 2)).astype(np.float32))
+    gp = jax.grad(lambda qq: jnp.sum(jnp.sin(_local_correlation_patch(qq, t, f, 2))))(q)
+    gg = jax.grad(lambda qq: jnp.sum(jnp.sin(_local_correlation_gather(qq, t, f, 2))))(q)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gg), rtol=1e-4, atol=1e-4)
