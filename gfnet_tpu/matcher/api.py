@@ -70,6 +70,34 @@ class GFNetMatcher:
         self.vit_params = vit_params
         self.head_vars = head_vars  # {"params": ..., "batch_stats": ...}
 
+    @classmethod
+    def from_pretrained(
+        cls,
+        conf_path: str | None = None,
+        ckpt_path: str | None = None,
+        dinov2_npz: str | None = None,
+        **kw,
+    ) -> "GFNetMatcher":
+        """Build a matcher from a reference-format config JSON + checkpoint.
+
+        ckpt_path accepts a reference torch `.pth` (auto-converted), an orbax
+        directory, or an .npz; dinov2_npz is the converted backbone (see
+        tools/convert_dinov2.py).
+        """
+        import os
+
+        cfg = ModelConfig.from_json(conf_path) if conf_path else ModelConfig()
+        matcher = cls(cfg, **kw)
+        if dinov2_npz and os.path.exists(dinov2_npz):
+            from gfnet_tpu.models.vit import load_dinov2_params
+
+            matcher.vit_params = {"params": load_dinov2_params(dinov2_npz)}
+        if ckpt_path:
+            from gfnet_tpu.utils.convert import load_head_checkpoint
+
+            matcher.head_vars = load_head_checkpoint(ckpt_path, matcher.head_vars)
+        return matcher
+
     # ------------------------------------------------------------------ init
     def init_params(self, key: Array):
         kv, kh = jax.random.split(key)
