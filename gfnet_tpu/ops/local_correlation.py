@@ -133,10 +133,14 @@ def _local_correlation_patch(
         mode=jax.lax.GatherScatterMode.CLIP,
     )  # (B*G*G, win, win, C)
 
-    # dot with query first (linear ops commute with the bilinear combine)
-    q = query.reshape(b * g1 * g2, c)
-    s = jnp.einsum(
-        "nijc,nc->nij", patches, q, preferred_element_type=jnp.float32
+    # dot with query first (linear ops commute with the bilinear combine).
+    # Written as multiply+reduce, NOT einsum: a dot_general with batch dim
+    # N = #cells lowers to N tiny matvecs on TPU — its backward measured
+    # ~1.7 s/step in training; the VPU elementwise form fuses cleanly in
+    # both directions.
+    q = query.reshape(b * g1 * g2, 1, 1, c)
+    s = jnp.sum(
+        patches.astype(jnp.float32) * q.astype(jnp.float32), axis=-1
     )  # (N, win, win)
     fy = fy.reshape(b * g1 * g2, 1, 1)
     fx = fx.reshape(b * g1 * g2, 1, 1)
