@@ -277,12 +277,12 @@ class GFNetMatcher:
         return warp, certainty
 
     # ---------------------------------------------------------------- sample
-    @partial(jax.jit, static_argnums=(0, 3))
-    def _sample_jit(self, matches: Array, certainty: Array, num: int, key: Array):
+    def _sample_core(self, matches: Array, certainty: Array, num: int, key: Array):
         """threshold_balanced sampling (ref `network.py:385-414`).
 
         matches (N, 4) normalized warps, certainty (N,). Gumbel top-k is the
         device-side equivalent of torch.multinomial(replacement=False).
+        Traceable core shared by the single-pair jit and the batched vmap.
         """
         cfg = self.cfg
         if "threshold" in cfg.sample_mode:
@@ -313,6 +313,10 @@ class GFNetMatcher:
         p = jnp.where(density < 10, 1e-7, p)
         bal_idx = gumbel_topk(p, k2, min(num, n_good))
         return good_matches[bal_idx], good_cert[bal_idx]
+
+    @partial(jax.jit, static_argnums=(0, 3))
+    def _sample_jit(self, matches: Array, certainty: Array, num: int, key: Array):
+        return self._sample_core(matches, certainty, num, key)
 
     def sample(self, matches, certainty, num: int = 5000, key: Array | None = None):
         if key is None:
@@ -346,3 +350,48 @@ class GFNetMatcher:
         pos_b = denormalize_corner_aligned(matches[:, 2:], hB, wB)
         H, _ = ransac_homography(pos_a, pos_b, key=k2)
         return H
+
+    @partial(jax.jit, static_argnums=(0, 3, 5, 6))
+    def _sample_solve_batched_jit(
+        self, warp: Array, certainty: Array, num: int, key: Array,
+        hw_a: tuple[int, int], hw_b: tuple[int, int],
+    ) -> Array:
+        """Per-pair sample+solve vmapped over the batch — one dispatch for B
+        pairs instead of 2B (serving-shaped: the tunnel/dispatch overhead per
+        jit call is amortized across the batch)."""
+        b = warp.shape[0]
+        keys = jax.random.split(key, b)
+
+        def per_pair(w, c, k):
+            k1, k2 = jax.random.split(k)
+            matches, _ = self._sample_core(w.reshape(-1, 4), c.reshape(-1), num, k1)
+            pos_a = denormalize_corner_aligned(matches[:, :2], *hw_a)
+            pos_b = denormalize_corner_aligned(matches[:, 2:], *hw_b)
+            H, _ = ransac_homography(pos_a, pos_b, key=k2)
+            return H
+
+        return jax.vmap(per_pair)(warp, certainty, keys)
+
+    def estimate_homography_batched(
+        self,
+        im_A_raw,
+        im_B_raw,
+        num_matches: int = 5000,
+        key: Array | None = None,
+    ) -> Array:
+        """Batched `estimate_homography`: (B, H, W, 3) pairs → (B, 3, 3).
+
+        Three jit dispatches total (pass1, pass2, sample+solve) regardless of
+        B — the throughput path for serving."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        im_A_raw = jnp.asarray(im_A_raw, jnp.float32)
+        im_B_raw = jnp.asarray(im_B_raw, jnp.float32)
+        if im_A_raw.ndim == 3:
+            im_A_raw, im_B_raw = im_A_raw[None], im_B_raw[None]
+        hA, wA = im_A_raw.shape[1:3]
+        hB, wB = im_B_raw.shape[1:3]
+        warp, certainty = self.match(im_A_raw, im_B_raw)
+        return self._sample_solve_batched_jit(
+            warp, certainty, num_matches, key, (int(hA), int(wA)), (int(hB), int(wB))
+        )

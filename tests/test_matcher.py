@@ -87,6 +87,21 @@ def test_estimate_homography_runs(matcher):
     assert float(H[2, 2]) == pytest.approx(1.0, abs=1e-5)
 
 
+def test_estimate_homography_batched(matcher):
+    """Batched serving path: (B,...) pairs → (B,3,3) in one sample+solve
+    dispatch, consistent with the per-pair path given the same key."""
+    rng = np.random.default_rng(6)
+    imA = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    imB = rng.uniform(0, 1, (2, 64, 64, 3)).astype(np.float32)
+    Hs = matcher.estimate_homography_batched(imA, imB, num_matches=300)
+    assert Hs.shape == (2, 3, 3)
+    assert bool(jnp.all(jnp.isfinite(Hs)))
+    np.testing.assert_allclose(np.asarray(Hs[:, 2, 2]), 1.0, atol=1e-5)
+    # single-image input is auto-promoted to a batch of one
+    H1 = matcher.estimate_homography_batched(imA[0], imB[0], num_matches=300)
+    assert H1.shape == (1, 3, 3)
+
+
 def test_match_deterministic(matcher):
     rng = np.random.default_rng(5)
     imA = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
