@@ -46,7 +46,9 @@ def main(argv=None):
 
     matcher = GFNetMatcher(cfg)
     if os.path.exists(args.dinov2_weights):
-        matcher.vit_params = {"params": load_dinov2_params(args.dinov2_weights)}
+        matcher.vit_params = matcher._cast_vit_params(
+            {"params": load_dinov2_params(args.dinov2_weights)}
+        )
     else:
         print(f"WARNING: no DINOv2 weights at {args.dinov2_weights}; random backbone")
     if args.ckpt_path:

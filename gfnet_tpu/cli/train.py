@@ -76,7 +76,9 @@ def main(argv=None):
         )
     matcher = GFNetMatcher(cfg)
     if os.path.exists(args.dinov2_weights):
-        matcher.vit_params = {"params": load_dinov2_params(args.dinov2_weights)}
+        matcher.vit_params = matcher._cast_vit_params(
+            {"params": load_dinov2_params(args.dinov2_weights)}
+        )
         print(f"loaded DINOv2 weights from {args.dinov2_weights}")
     else:
         print(

@@ -67,8 +67,18 @@ class GFNetMatcher:
         self.head = GFNet(cfg, dtype=dtype)
         if vit_params is None or head_vars is None:
             vit_params, head_vars = self.init_params(jax.random.PRNGKey(seed))
-        self.vit_params = vit_params
+        self.vit_params = self._cast_vit_params(vit_params)
         self.head_vars = head_vars  # {"params": ..., "batch_stats": ...}
+
+    def _cast_vit_params(self, params):
+        """Store the frozen backbone weights in the compute dtype (bf16):
+        halves their HBM traffic per pass. The reference likewise runs the
+        frozen DINOv2 in reduced precision at inference (fp16 autocast,
+        `model/network.py:165-170`)."""
+        cast = lambda x: (
+            x.astype(self.dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x
+        )
+        return jax.tree.map(cast, params)
 
     @classmethod
     def from_pretrained(
@@ -91,7 +101,9 @@ class GFNetMatcher:
         if dinov2_npz and os.path.exists(dinov2_npz):
             from gfnet_tpu.models.vit import load_dinov2_params
 
-            matcher.vit_params = {"params": load_dinov2_params(dinov2_npz)}
+            matcher.vit_params = matcher._cast_vit_params(
+                {"params": load_dinov2_params(dinov2_npz)}
+            )
         if ckpt_path:
             from gfnet_tpu.utils.convert import load_head_checkpoint
 

@@ -154,6 +154,20 @@ def _local_correlation_patch(
     return comb.reshape(b, g1, g2, k) / float(np.sqrt(c))
 
 
+def _pallas_vmem_estimate(target_shape, query_shape, radius: int) -> float:
+    """f32 VMEM bytes the Pallas kernel needs resident per program: the
+    padded target block (channels lane-padded to a multiple of 128) plus the
+    per-row patch scratch. Mirrors ops/pallas/local_corr.py's block specs."""
+    _, h, w, c = target_shape
+    g2 = query_shape[2]
+    pad = 2 * radius + 4
+    win = 2 * radius + 2
+    lanes = -(-c // 128) * 128
+    target_bytes = (h + 2 * pad) * (w + 2 * pad) * lanes * 4
+    scratch_bytes = g2 * win * win * lanes * 4
+    return float(target_bytes + scratch_bytes)
+
+
 def local_correlation(
     query: Array,
     target: Array,
@@ -175,16 +189,19 @@ def local_correlation(
     if impl == "auto":
         import os
 
-        # v5e profiling: the per-tap row-gather path dominated the refiner
-        # pipeline (~63ms/pass at 448); the contiguous patch-gather
-        # formulation removes that. The Pallas kernel remains available via
-        # impl="pallas" / GFNET_FORCE_PALLAS=1 (VMEM lane padding limits it
-        # to the coarse large-channel scales).
+        # v5e device sweep (scripts/profile_lc_all.py, 2026-08-18): the Pallas
+        # kernel beats the XLA patch-gather at every flagship shape it fits
+        # (1.5-2.1ms vs 2.3-4.8ms per call); it keeps the padded target
+        # resident in VMEM with the channel dim lane-padded to 128, so it only
+        # fits when that f32 buffer (+ per-row patch scratch) stays under the
+        # VMEM budget. 2@560 (296^2 x 128 lanes = 45 MB) is the one flagship
+        # shape over budget -> patch-gather.
         on_tpu = jax.default_backend() in ("tpu", "axon")
-        if on_tpu and os.environ.get("GFNET_FORCE_PALLAS") == "1":
-            from gfnet_tpu.ops.pallas.local_corr import local_correlation_pallas
+        if on_tpu and os.environ.get("GFNET_FORCE_PALLAS") != "0":
+            if _pallas_vmem_estimate(target.shape, query.shape, radius) <= 40e6:
+                from gfnet_tpu.ops.pallas.local_corr import local_correlation_pallas
 
-            return local_correlation_pallas(query, target, flow, radius)
+                return local_correlation_pallas(query, target, flow, radius)
         return _local_correlation_patch(query, target, flow, radius)
     if impl == "patch":
         return _local_correlation_patch(query, target, flow, radius)
