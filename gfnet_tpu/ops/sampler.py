@@ -10,6 +10,13 @@ torch in tests/test_sampler.py.
 Layout is NHWC; the gather is expressed with flat advanced indexing which XLA
 lowers to a single gather op. The hot structured case (regular-spacing local
 windows) bypasses this entirely — see ops/local_correlation.py.
+
+TPU row-gathers cost ~per index row, not per byte, at these tiny row widths
+(C=8..32 → 16..64B rows). For large point counts the packed lowering below
+pre-concatenates each pixel's 2x2 neighborhood into channels so ONE gather
+row fetches all four bilinear corners — 4x fewer index rows, measured 2.1x
+faster at the fine-refiner warp shapes (scripts/profile_warp.py, v5e) and
+bit-identical. `grid_sample` auto-dispatches on static shapes.
 """
 
 from __future__ import annotations
@@ -18,6 +25,60 @@ import jax
 import jax.numpy as jnp
 
 Array = jax.Array
+
+
+def _unnormalize(grid: Array, h: int, w: int, align_corners: bool):
+    gx, gy = grid[..., 0], grid[..., 1]
+    if align_corners:
+        x = (gx + 1) * 0.5 * (w - 1)
+        y = (gy + 1) * 0.5 * (h - 1)
+    else:
+        x = ((gx + 1) * w - 1) * 0.5
+        y = ((gy + 1) * h - 1) * 0.5
+    return x, y
+
+
+def _grid_sample_packed(img: Array, grid: Array, align_corners: bool) -> Array:
+    """Single-gather bilinear sampling, zeros padding only.
+
+    Pads by 2 so every clipped out-of-range index row lands on zero padding —
+    exactly reproducing the zero-contribution of invalid corners in the base
+    lowering (torch `padding_mode="zeros"`, ref `local_correlation.py:56-58`).
+    Non-finite coords map to far-out-of-range, i.e. sample to 0.
+    """
+    b, h, w, c = img.shape
+    out_shape = grid.shape[:-1] + (c,)
+    grid = grid.reshape(b, -1, 2)
+
+    x, y = _unnormalize(grid, h, w, align_corners)
+    x = jnp.where(jnp.isfinite(x), x, -1e9)
+    y = jnp.where(jnp.isfinite(y), y, -1e9)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = (x - x0).astype(img.dtype)
+    wy = (y - y0).astype(img.dtype)
+
+    pad = 2
+    imgp = jnp.pad(img, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    hp, wp = h + 2 * pad, w + 2 * pad
+    # packed[y, x] = [img[y,x], img[y,x+1], img[y+1,x], img[y+1,x+1]]
+    packed = jnp.concatenate(
+        [imgp[:, :-1, :-1], imgp[:, :-1, 1:], imgp[:, 1:, :-1], imgp[:, 1:, 1:]],
+        axis=-1,
+    )  # (B, hp-1, wp-1, 4C)
+
+    yb = jnp.clip(y0.astype(jnp.int32) + pad, 0, hp - 2)
+    xb = jnp.clip(x0.astype(jnp.int32) + pad, 0, wp - 2)
+    flat = packed.reshape(b, (hp - 1) * (wp - 1), 4 * c)
+    vals = jnp.take_along_axis(flat, (yb * (wp - 1) + xb)[..., None], axis=1)
+    v00, v01, v10, v11 = jnp.split(vals, 4, axis=-1)
+    out = (
+        v00 * ((1 - wy) * (1 - wx))[..., None]
+        + v01 * ((1 - wy) * wx)[..., None]
+        + v10 * (wy * (1 - wx))[..., None]
+        + v11 * (wy * wx)[..., None]
+    )
+    return out.reshape(out_shape)
 
 
 def grid_sample(
@@ -31,19 +92,25 @@ def grid_sample(
     Returns (B, ..., C). grid[..., 0] is x in [-1, 1], grid[..., 1] is y.
     """
     assert padding_mode in ("zeros", "border")
+    if padding_mode == "zeros":
+        b, h, w, c = img.shape
+        n = grid.size // (2 * b)
+        # Packed wins when gather rows dominate the one-off packing cost
+        # (fit on v5e measurements, scripts/profile_warp.py).
+        if n * 384 >= h * w * c:
+            return _grid_sample_packed(img, grid, align_corners)
+    return _grid_sample_base(img, grid, align_corners, padding_mode)
+
+
+def _grid_sample_base(
+    img: Array, grid: Array, align_corners: bool, padding_mode: str
+) -> Array:
+    """Four-gather lowering; handles border padding and small point counts."""
     b, h, w, c = img.shape
     out_shape = grid.shape[:-1] + (c,)
     grid = grid.reshape(b, -1, 2)
-    n = grid.shape[1]
 
-    gx, gy = grid[..., 0], grid[..., 1]
-    if align_corners:
-        x = (gx + 1) * 0.5 * (w - 1)
-        y = (gy + 1) * 0.5 * (h - 1)
-    else:
-        x = ((gx + 1) * w - 1) * 0.5
-        y = ((gy + 1) * h - 1) * 0.5
-
+    x, y = _unnormalize(grid, h, w, align_corners)
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     wx = x - x0

@@ -67,7 +67,7 @@ def main():
             for _ in range(3)
         )
         rows = {}
-        for blk in (256, 320, 384, 512):
+        for blk in (128, 256, 384, 512):
             f = jax.jit(partial(flash, blk=blk))
             rows[f"flash{blk}(pad {-(-n // blk) * blk})"] = timed(lambda: f(q, k, v))
         f = jax.jit(sdpa)

@@ -46,6 +46,48 @@ def test_grid_sample_identity_grid_equals_input():
     np.testing.assert_allclose(out, img, atol=1e-5)
 
 
+@pytest.mark.parametrize("align_corners", [False, True])
+def test_grid_sample_packed_equals_base(align_corners):
+    """The packed single-gather lowering must match the 4-gather base exactly,
+    including far out-of-range and exact-border points (zeros padding)."""
+    import functools
+
+    import jax
+
+    from gfnet_tpu.ops.sampler import _grid_sample_base, _grid_sample_packed
+
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.standard_normal((2, 40, 30, 6)).astype(np.float32))
+    pts = rng.uniform(-1.8, 1.8, (2, 25, 25, 2)).astype(np.float32)
+    # exact borders and corners
+    pts[0, 0, :4] = [[-1, -1], [1, 1], [-1, 1], [1, -1]]
+    grid = jnp.asarray(pts)
+
+    packed = _grid_sample_packed(img, grid, align_corners)
+    base = _grid_sample_base(img, grid, align_corners, "zeros")
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(base), atol=0)
+
+    ref = _torch_grid_sample(np.asarray(img), pts, align_corners, "zeros")
+    np.testing.assert_allclose(np.asarray(packed), ref, rtol=1e-4, atol=1e-5)
+
+    # gradients of the two lowerings agree (w.r.t. image and grid)
+    def loss(fn, i, g):
+        return jnp.sum(fn(i, g) ** 2)
+
+    gi_p, gg_p = jax.grad(
+        functools.partial(loss, lambda i, g: _grid_sample_packed(i, g, align_corners)),
+        (0, 1),
+    )(img, grid)
+    gi_b, gg_b = jax.grad(
+        functools.partial(
+            loss, lambda i, g: _grid_sample_base(i, g, align_corners, "zeros")
+        ),
+        (0, 1),
+    )(img, grid)
+    np.testing.assert_allclose(np.asarray(gi_p), np.asarray(gi_b), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gg_p), np.asarray(gg_b), rtol=1e-4, atol=2e-4)
+
+
 def test_grid_sample_arbitrary_query_shape():
     rng = np.random.default_rng(2)
     img = rng.standard_normal((3, 10, 10, 4)).astype(np.float32)
