@@ -114,8 +114,10 @@ class CrossBlock(nn.Module):
                 jax.nn.silu(x1) * x2
             )
         else:
+            from gfnet_tpu.models.vit import gelu
+
             h = nn.Dense(hidden, dtype=self.dtype, name="mlp_fc1")(h)
-            h = jax.nn.gelu(h, approximate=False)
+            h = gelu(h)
             h = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(h)
         return x + LayerScale(self.dim, cfg.init_values, name="ls2")(h)
 
