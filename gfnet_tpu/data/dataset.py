@@ -110,14 +110,22 @@ class HomographyDataset:
             else:
                 raise ValueError(f"unknown train dataset {dataset}")
         elif mode == "val":
-            # dir-driven test sets (ref `:92-119`, `test.py:41-55`)
-            subdir = {
-                "vis_ir_drone": "visir_1k_448x448",
-                "googlemap": "googlemap_1k_448x448_new",
-                "googlemap_224x224": "googlemap_1k_224x224",
-                "googlemap_672x672": "googlemap_1k_672x672",
-                "mscoco": "mscoco_1k_448x448",
+            # dir-driven test sets (ref `:92-119`, `test.py:41-55`). The
+            # reference is self-inconsistent about googlemap-224: test.py:51
+            # (the canonical eval entry) uses `googlemap_1k_224x224_new`,
+            # homography_dataset_large_size.py:106 the un-suffixed name —
+            # accept whichever layout exists, preferring test.py's.
+            candidates = {
+                "vis_ir_drone": ["visir_1k_448x448"],
+                "googlemap": ["googlemap_1k_448x448_new"],
+                "googlemap_224x224": ["googlemap_1k_224x224_new", "googlemap_1k_224x224"],
+                "googlemap_672x672": ["googlemap_1k_672x672"],
+                "mscoco": ["mscoco_1k_448x448"],
             }[dataset]
+            subdir = next(
+                (c for c in candidates if os.path.isdir(f"{data_path}/test/{c}")),
+                candidates[0],
+            )
             path = f"{data_path}/test/{subdir}/target"
             test_list = sorted(os.listdir(path))
             self.H_paths = [

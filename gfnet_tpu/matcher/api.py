@@ -179,9 +179,15 @@ class GFNetMatcher:
         return self.head.apply(head_vars, im_A, im_B, tokens, **kwargs)
 
     # ----------------------------------------------------------------- match
-    def _prep_image(self, img, size):
-        img = interpolate(img, size, "bicubic", False)
-        return imagenet_normalize(jnp.clip(img, 0.0, 1.0))
+    def _prep_image(self, img, size, mode="bicubic"):
+        """Resize + imagenet-normalize, matching the reference eval transform
+        exactly: pass 1 uses torchvision Resize BICUBIC, pass 2 BILINEAR
+        (`get_tuple_transform_ops` defaults vs the mode=2 call,
+        `network.py:293,342`), both antialiased (`utils/utils.py:90`,
+        antialias=None ≡ True on tensors in torchvision >= 0.17), and no
+        clipping of bicubic overshoot."""
+        img = interpolate(img, size, mode, False, antialias=True)
+        return imagenet_normalize(img)
 
     @partial(jax.jit, static_argnums=(0,))
     def _pass1_jit(self, head_vars, vit_params, im_A_raw, im_B_raw):
@@ -229,8 +235,8 @@ class GFNetMatcher:
         if cfg.upsample_preds:
             hs, ws = cfg.upsample_res
             grids_up = upsample_grid_schedule(cfg.upsample_res, cfg.dino.patch_size)
-            im0u = self._prep_image(im_A_raw, (hs, ws))
-            im1u = self._prep_image(im_B_raw, (hs, ws))
+            im0u = self._prep_image(im_A_raw, (hs, ws), mode="bilinear")
+            im1u = self._prep_image(im_B_raw, (hs, ws), mode="bilinear")
             scale_factor = math.sqrt(hs * ws / (h_r * w_r))
             corresps = self.forward(
                 head_vars,

@@ -82,44 +82,57 @@ class CrossAttention(nn.Module):
 
 
 class CrossBlock(nn.Module):
-    """Pre-norm cross block (ref `block.py:255-329`)."""
+    """Cross block, pre-norm or post-norm (ref `block.py:255-329`).
+
+    post_norm=True (ref `block.py:319-321`): attention consumes the raw
+    residual stream and LayerNorm wraps each residual sum; pre-norm
+    (`block.py:322-328`) normalizes the query (and key/value too when
+    pre_norm_query=False).
+    """
 
     dim: int
     num_heads: int
     cfg: DecoderConfig
     dtype: jnp.dtype = jnp.bfloat16
 
-    @nn.compact
-    def __call__(self, x: Array, key: Array, value: Array) -> Array:
+    def _mlp(self, h: Array) -> Array:
         cfg = self.cfg
-        train_len = cfg.train_avg_length if cfg.softmax_scale == "entropy_invariance" else None
-        if not cfg.pre_norm_query:
-            norm = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")
-            xq, key, value = norm(x), norm(key), norm(value)
-        else:
-            xq = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        h = CrossAttention(
-            self.dim, self.num_heads, train_len, self.dtype,
-            attention_type=cfg.attention_type, name="attn",
-        )(xq, key, value)
-        x = x + LayerScale(self.dim, cfg.init_values, name="ls1")(h)
-        h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         hidden = int(self.dim * cfg.mlp_ratio)
         if cfg.ffn_type == "glu":
             # SwiGLU FFN (ref `layers/swiglu_ffn.py:13-42`): fused w12 then
             # silu(x1) * x2 → w3
             h12 = nn.Dense(2 * hidden, dtype=self.dtype, name="mlp_w12")(h)
             x1, x2 = jnp.split(h12, 2, axis=-1)
-            h = nn.Dense(self.dim, dtype=self.dtype, name="mlp_w3")(
+            return nn.Dense(self.dim, dtype=self.dtype, name="mlp_w3")(
                 jax.nn.silu(x1) * x2
             )
-        else:
-            from gfnet_tpu.models.vit import gelu
+        from gfnet_tpu.models.vit import gelu
 
-            h = nn.Dense(hidden, dtype=self.dtype, name="mlp_fc1")(h)
-            h = gelu(h)
-            h = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(h)
-        return x + LayerScale(self.dim, cfg.init_values, name="ls2")(h)
+        h = nn.Dense(hidden, dtype=self.dtype, name="mlp_fc1")(h)
+        h = gelu(h)
+        return nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(h)
+
+    @nn.compact
+    def __call__(self, x: Array, key: Array, value: Array) -> Array:
+        cfg = self.cfg
+        train_len = cfg.train_avg_length if cfg.softmax_scale == "entropy_invariance" else None
+        norm1 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")
+        norm2 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")
+        attn = CrossAttention(
+            self.dim, self.num_heads, train_len, self.dtype,
+            attention_type=cfg.attention_type, name="attn",
+        )
+        ls1 = LayerScale(self.dim, cfg.init_values, name="ls1")
+        ls2 = LayerScale(self.dim, cfg.init_values, name="ls2")
+        if cfg.post_norm:
+            x = norm1(x + ls1(attn(x, key, value)))
+            return norm2(x + ls2(self._mlp(x)))
+        if not cfg.pre_norm_query:
+            xq, key, value = norm1(x), norm1(key), norm1(value)
+        else:
+            xq = norm1(x)
+        x = x + ls1(attn(xq, key, value))
+        return x + ls2(self._mlp(norm2(x)))
 
 
 class CrossViewDecoder(nn.Module):

@@ -42,7 +42,10 @@ class DepthwiseConv(nn.Module):
     padded to the 128-lane width; at the fine refiner scales (C=24/73/177 at
     320^2/160^2/80^2 for 448-input) most lanes are wasted. The shift-accumulate
     form is pure VPU elementwise work and measures ~2.6x faster end-to-end on
-    v5e (scripts/profile_dwconv.py), with bit-identical outputs.
+    v5e (scripts/profile_dwconv.py). The accumulator is kept in f32 so bf16
+    inputs match the MXU conv's f32 accumulation (per-tap bf16 rounding
+    measurably drifts: ~3e-2 max abs on unit-scale activations); taps are cast
+    up per-slice, the result cast back once after the bias add.
 
     Param layout matches `nn.Conv(feature_group_count=C)` — kernel
     (K, K, 1, C), bias (C,) — so converted reference checkpoints
@@ -58,16 +61,17 @@ class DepthwiseConv(nn.Module):
         k = self.kernel
         kernel = self.param("kernel", torch_uniform_init(), (k, k, 1, self.features))
         bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
-        w = kernel.astype(self.dtype)
+        w = kernel.astype(jnp.float32)
         x = x.astype(self.dtype)
         p = k // 2
         _, h, ww, _ = x.shape
         xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
-        out = jnp.zeros_like(x)
+        out = jnp.zeros(x.shape, jnp.float32)
         for dy in range(k):
             for dx in range(k):
-                out = out + xp[:, dy : dy + h, dx : dx + ww, :] * w[dy, dx, 0, :]
-        return out + bias.astype(self.dtype)
+                tap = xp[:, dy : dy + h, dx : dx + ww, :].astype(jnp.float32)
+                out = out + tap * w[dy, dx, 0, :]
+        return (out + bias.astype(jnp.float32)).astype(self.dtype)
 
 
 class RefineBlock(nn.Module):

@@ -36,6 +36,33 @@ def _cubic_kernel(t: np.ndarray, a: float = -0.75) -> np.ndarray:
     )
 
 
+def _antialias_weight_matrix(in_size: int, out_size: int, mode: str) -> np.ndarray:
+    """PIL-style antialiased resize weights (torch `F.interpolate(antialias=True)`,
+    which torchvision's `transforms.Resize` uses on tensors — the reference's
+    eval preprocessing, `utils/utils.py:90`).
+
+    Per output pixel: taps within `radius * scale` of the source center,
+    kernel stretched by the scale factor, weights normalized to sum 1.
+    Antialiasing only matters when downscaling; callers use the standard
+    path otherwise. Note torch's aa-bicubic uses a = -0.5 (PIL), not -0.75.
+    """
+    radius = {"bilinear": 1.0, "bicubic": 2.0}[mode]
+    scale = in_size / out_size
+    support = radius * scale if scale > 1.0 else radius
+    kscale = max(scale, 1.0)
+    W = np.zeros((out_size, in_size))
+    for i in range(out_size):
+        center = (i + 0.5) * scale
+        xmin = max(int(center - support + 0.5), 0)
+        xmax = min(int(center + support + 0.5), in_size)
+        t = (np.arange(xmin, xmax) - center + 0.5) / kscale
+        w = np.maximum(0.0, 1.0 - np.abs(t)) if mode == "bilinear" else _cubic_kernel(t, a=-0.5)
+        s = w.sum()
+        if s != 0:
+            W[i, xmin:xmax] = w / s
+    return W
+
+
 @lru_cache(maxsize=256)
 def resize_weight_matrix(
     in_size: int,
@@ -43,6 +70,7 @@ def resize_weight_matrix(
     mode: str = "bilinear",
     align_corners: bool = False,
     scale: float | None = None,
+    antialias: bool = False,
 ) -> np.ndarray:
     """Build the (out_size, in_size) resize weight matrix.
 
@@ -50,6 +78,12 @@ def resize_weight_matrix(
     matching torch's behavior when `scale_factor` is passed explicitly with
     `recompute_scale_factor=None` (used by DINOv2 pos-embed interpolation).
     """
+    if antialias and mode in ("bilinear", "bicubic"):
+        # torch routes antialias=True through the PIL-style kernel for both
+        # down- and up-scale (upscale degenerates to kscale=1: identical to
+        # standard bilinear, but bicubic switches to a=-0.5).
+        assert not align_corners and scale is None
+        return _antialias_weight_matrix(in_size, out_size, mode)
     out_idx = np.arange(out_size, dtype=np.float64)
     if mode == "nearest-exact":
         ratio = in_size / out_size if scale is None else 1.0 / scale
@@ -98,11 +132,13 @@ def interpolate(
     mode: str = "bilinear",
     align_corners: bool = False,
     scale: tuple[float, float] | None = None,
+    antialias: bool = False,
 ) -> Array:
     """Resize NHWC tensor `x` (B, H, W, C) to `size` (h, w).
 
     Implemented as two MXU matmuls along H and W. Mode/corner semantics match
-    `torch.nn.functional.interpolate` (see module docstring).
+    `torch.nn.functional.interpolate` (see module docstring), including
+    `antialias=True` on downscale (torchvision Resize tensor semantics).
     """
     if isinstance(size, int):
         size = (size, size)
@@ -112,8 +148,8 @@ def interpolate(
         return x
     sh = None if scale is None else scale[0]
     sw = None if scale is None else scale[1]
-    Wh = jnp.asarray(resize_weight_matrix(h, oh, mode, align_corners, sh), x.dtype)
-    Ww = jnp.asarray(resize_weight_matrix(w, ow, mode, align_corners, sw), x.dtype)
+    Wh = jnp.asarray(resize_weight_matrix(h, oh, mode, align_corners, sh, antialias), x.dtype)
+    Ww = jnp.asarray(resize_weight_matrix(w, ow, mode, align_corners, sw, antialias), x.dtype)
     # (oh,h) @ (b,h,w*c) over H, then (ow,w) over W.
     y = jnp.einsum("oh,bhwc->bowc", Wh, x)
     y = jnp.einsum("pw,bowc->bopc", Ww, y)

@@ -55,8 +55,11 @@ def _grid_sample_packed(img: Array, grid: Array, align_corners: bool) -> Array:
     y = jnp.where(jnp.isfinite(y), y, -1e9)
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    wx = (x - x0).astype(img.dtype)
-    wy = (y - y0).astype(img.dtype)
+    # weight products stay in f32 and cast at the final multiply — matches
+    # _grid_sample_base so the shape-heuristic dispatch never changes results
+    # (for bf16 images too, the hot refiner warp path)
+    wx = x - x0
+    wy = y - y0
 
     pad = 2
     imgp = jnp.pad(img, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
@@ -73,10 +76,10 @@ def _grid_sample_packed(img: Array, grid: Array, align_corners: bool) -> Array:
     vals = jnp.take_along_axis(flat, (yb * (wp - 1) + xb)[..., None], axis=1)
     v00, v01, v10, v11 = jnp.split(vals, 4, axis=-1)
     out = (
-        v00 * ((1 - wy) * (1 - wx))[..., None]
-        + v01 * ((1 - wy) * wx)[..., None]
-        + v10 * (wy * (1 - wx))[..., None]
-        + v11 * (wy * wx)[..., None]
+        v00 * ((1 - wy) * (1 - wx))[..., None].astype(img.dtype)
+        + v01 * ((1 - wy) * wx)[..., None].astype(img.dtype)
+        + v10 * (wy * (1 - wx))[..., None].astype(img.dtype)
+        + v11 * (wy * wx)[..., None].astype(img.dtype)
     )
     return out.reshape(out_shape)
 

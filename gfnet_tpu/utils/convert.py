@@ -101,6 +101,32 @@ def _convert_seq_conv_bn(p, bs, torch_prefix, flax_prefix, sd):
     _set(bs, flax_prefix + "/bn/var", sd[torch_prefix + ".1.running_var"])
 
 
+def convert_cross_block(p: dict, sd: Mapping[str, Any], t: str, o: str) -> None:
+    """One reference CrossBlock (`block.py:255-329`) at torch prefix `t` →
+    flax params under path prefix `o` (models.crossview.CrossBlock layout)."""
+    _set(p, o + "norm1/scale", sd[t + "norm1.weight"])
+    _set(p, o + "norm1/bias", sd[t + "norm1.bias"])
+    for proj in ("q_proj", "k_proj", "v_proj"):
+        _set(p, o + f"attn/{proj}/kernel", _t_lin(sd[t + f"attn.{proj}.weight"]))
+    _set(p, o + "attn/proj/kernel", _t_lin(sd[t + "attn.proj.weight"]))
+    _set(p, o + "attn/proj/bias", sd[t + "attn.proj.bias"])
+    _set(p, o + "ls1/gamma", sd[t + "ls1.gamma"])
+    _set(p, o + "ls2/gamma", sd[t + "ls2.gamma"])
+    _set(p, o + "norm2/scale", sd[t + "norm2.weight"])
+    _set(p, o + "norm2/bias", sd[t + "norm2.bias"])
+    if t + "mlp.w12.weight" in sd:
+        # SwiGLU FFN variant (ref `layers/swiglu_ffn.py:13-33`)
+        _set(p, o + "mlp_w12/kernel", _t_lin(sd[t + "mlp.w12.weight"]))
+        _set(p, o + "mlp_w12/bias", sd[t + "mlp.w12.bias"])
+        _set(p, o + "mlp_w3/kernel", _t_lin(sd[t + "mlp.w3.weight"]))
+        _set(p, o + "mlp_w3/bias", sd[t + "mlp.w3.bias"])
+    else:
+        _set(p, o + "mlp_fc1/kernel", _t_lin(sd[t + "mlp.fc1.weight"]))
+        _set(p, o + "mlp_fc1/bias", sd[t + "mlp.fc1.bias"])
+        _set(p, o + "mlp_fc2/kernel", _t_lin(sd[t + "mlp.fc2.weight"]))
+        _set(p, o + "mlp_fc2/bias", sd[t + "mlp.fc2.bias"])
+
+
 def convert_gfnet_head_state_dict(sd: Mapping[str, Any]) -> dict:
     """Reference GFNet checkpoint["model"] → our head variables
     {"params": ..., "batch_stats": ...}."""
@@ -114,22 +140,9 @@ def convert_gfnet_head_state_dict(sd: Mapping[str, Any]) -> dict:
         int(k.split(".")[2]) for k in sd if k.startswith("dino_decoder.cross_attn_blocks.")
     )
     for i in range(n_cross):
-        t = f"dino_decoder.cross_attn_blocks.{i}."
-        o = f"crossview/cross{i}/"
-        _set(p, o + "norm1/scale", sd[t + "norm1.weight"])
-        _set(p, o + "norm1/bias", sd[t + "norm1.bias"])
-        for proj in ("q_proj", "k_proj", "v_proj"):
-            _set(p, o + f"attn/{proj}/kernel", _t_lin(sd[t + f"attn.{proj}.weight"]))
-        _set(p, o + "attn/proj/kernel", _t_lin(sd[t + "attn.proj.weight"]))
-        _set(p, o + "attn/proj/bias", sd[t + "attn.proj.bias"])
-        _set(p, o + "ls1/gamma", sd[t + "ls1.gamma"])
-        _set(p, o + "ls2/gamma", sd[t + "ls2.gamma"])
-        _set(p, o + "norm2/scale", sd[t + "norm2.weight"])
-        _set(p, o + "norm2/bias", sd[t + "norm2.bias"])
-        _set(p, o + "mlp_fc1/kernel", _t_lin(sd[t + "mlp.fc1.weight"]))
-        _set(p, o + "mlp_fc1/bias", sd[t + "mlp.fc1.bias"])
-        _set(p, o + "mlp_fc2/kernel", _t_lin(sd[t + "mlp.fc2.weight"]))
-        _set(p, o + "mlp_fc2/bias", sd[t + "mlp.fc2.bias"])
+        convert_cross_block(
+            p, sd, f"dino_decoder.cross_attn_blocks.{i}.", f"crossview/cross{i}/"
+        )
 
     # FPN encoder (ref `model/FPN.py:5-21`)
     for name in (

@@ -59,3 +59,25 @@ def test_bicubic_explicit_scale_factor_matches_torch():
         interpolate(jnp.asarray(x), (32, 32), "bicubic", False, scale=sf)
     )
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("mode", ["bilinear", "bicubic"])
+@pytest.mark.parametrize(
+    "in_hw,out_hw",
+    [((672, 672), (448, 448)), ((140, 140), (112, 112)), ((33, 50), (21, 13)),
+     ((448, 448), (560, 560))],
+)
+def test_antialias_resize_matches_torch(mode, in_hw, out_hw):
+    """torchvision Resize tensor semantics (antialias=None ≡ True, the
+    reference eval preprocessing `utils/utils.py:90`): PIL-style stretched
+    kernel on downscale, a=-0.5 bicubic on upscale."""
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, *in_hw, 3)).astype(np.float32)
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    ref = (
+        F.interpolate(xt, out_hw, mode=mode, align_corners=False, antialias=True)
+        .permute(0, 2, 3, 1)
+        .numpy()
+    )
+    ours = np.asarray(interpolate(jnp.asarray(x), out_hw, mode, False, antialias=True))
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=2e-4)

@@ -96,3 +96,21 @@ def test_grid_sample_arbitrary_query_shape():
     assert out.shape == (3, 50, 4)
     ref = _torch_grid_sample(img, grid[:, :, None, :], False, "zeros")[:, :, 0, :]
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+
+
+def test_grid_sample_packed_equals_base_bf16():
+    """bf16 images (the hot refiner warp path): both lowerings compute the
+    bilinear weight products in f32 and cast at the final multiply, so the
+    n*384 shape-heuristic dispatch never changes results."""
+    from gfnet_tpu.ops.sampler import _grid_sample_base, _grid_sample_packed
+
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.standard_normal((2, 40, 30, 6)), jnp.bfloat16)
+    pts = rng.uniform(-1.5, 1.5, (2, 25, 25, 2)).astype(np.float32)
+    grid = jnp.asarray(pts)
+    packed = _grid_sample_packed(img, grid, False)
+    base = _grid_sample_base(img, grid, False, "zeros")
+    assert packed.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(packed, np.float32), np.asarray(base, np.float32), atol=0
+    )

@@ -118,6 +118,43 @@ def test_checkpoint_roundtrip(tmp_path, setup):
     assert Checkpointer(str(tmp_path), "other").restore(template) is None
 
 
+def test_checkpoint_crash_during_save_leaves_restorable(tmp_path, setup):
+    """Kill-during-save safety (versioned step dirs): a later save that dies
+    mid-write must leave the previous checkpoint restorable, and retention
+    prunes only committed older versions."""
+    import os
+
+    from gfnet_tpu.train.checkpoint import Checkpointer
+
+    cfg, matcher, mesh, state, step = setup
+    tcfg = TrainConfig(grad_clip_norm=0.01)
+    template = create_train_state(matcher.head_vars, tcfg, global_batch=8)
+    ck = Checkpointer(str(tmp_path), "exp", keep=2)
+    ck.save(state)
+    first = ck.latest_path
+    assert first is not None and first.endswith("step_000000000")
+
+    # simulate a crash mid-save of the NEXT version: orbax stages under a
+    # tmp-suffixed name, so a dead partial write looks like this
+    partial = os.path.join(ck.dir, "step_000000100.orbax-checkpoint-tmp-123")
+    os.makedirs(os.path.join(partial, "params"))
+    with open(os.path.join(partial, "params", "garbage"), "w") as f:
+        f.write("partial")
+
+    restored = ck.restore(template)
+    assert restored is not None
+    assert int(restored.step) == int(state.step)
+
+    # retention: a third committed save prunes the oldest, never the newest
+    s2 = state.replace(step=state.step + 1)
+    s3 = state.replace(step=state.step + 2)
+    ck.save(s2)
+    ck.save(s3)
+    names = sorted(d for d in os.listdir(ck.dir) if d.startswith("step_") and "tmp" not in d)
+    assert names == ["step_000000001", "step_000000002"]
+    assert int(ck.restore(template).step) == int(s3.step)
+
+
 def test_fsdp_vit_sharded_step(harness):
     """Frozen ViT sharded over the data axis: step compiles + runs, and the
     large leaves really are distributed (per-device shard < full size)."""
