@@ -5,8 +5,16 @@ wall-clock of match (448 pass + 560 upsample-refinement pass, symmetric) +
 threshold-balanced sampling + robust homography solve, per image pair — but
 fully on-device (no OpenCV host round trip).
 
+Measures BOTH serving shapes:
+  - single-stream (one pair per dispatch, latency-bound, the reference's
+    protocol) — this is the headline `value`;
+  - batched (B pairs through `estimate_homography_batched`, 3 dispatches
+    total, throughput-bound) — reported as `batched_pairs_per_s`;
+plus a per-phase time split (pass1 / pass2 / sample+solve) so the remaining
+cost structure is visible.
+
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "pairs/s", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "pairs/s", "vs_baseline": N, ...}
 
 vs_baseline compares against the first recorded run on this hardware
 (bench_baseline.json, committed once measured) so the driver can track
@@ -24,6 +32,15 @@ import numpy as np
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
 
 
+def _timeit(fn, sync, iters):
+    t0 = time.perf_counter()
+    out = None
+    for i in range(iters):
+        out = fn(i)
+    sync(out)
+    return (time.perf_counter() - t0) / iters
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -37,21 +54,52 @@ def main():
     rng = np.random.default_rng(0)
     im_a = jnp.asarray(rng.uniform(0, 1, (448, 448, 3)).astype(np.float32))
     im_b = jnp.asarray(rng.uniform(0, 1, (448, 448, 3)).astype(np.float32))
-
-    def one_pair(key):
-        H = matcher.estimate_homography(im_a, im_b, num_matches=5000, key=key)
-        return H
-
-    # Warmup / compile
-    one_pair(jax.random.PRNGKey(0)).block_until_ready()
-
     iters = int(os.environ.get("BENCH_ITERS", "10"))
-    t0 = time.perf_counter()
-    for i in range(iters):
-        H = one_pair(jax.random.PRNGKey(i))
-    H.block_until_ready()
-    dt = time.perf_counter() - t0
-    pairs_per_s = iters / dt
+    bsz = int(os.environ.get("BENCH_BATCH", "8"))
+    sync = jax.block_until_ready
+
+    # ---------------- single-stream (headline, reference protocol) ----------
+    def one_pair(i):
+        return matcher.estimate_homography(
+            im_a, im_b, num_matches=5000, key=jax.random.PRNGKey(i)
+        )
+
+    sync(one_pair(0))  # compile
+    dt_single = _timeit(one_pair, sync, iters)
+    pairs_per_s = 1.0 / dt_single
+
+    # ---------------- per-phase split (single-stream) -----------------------
+    hv, vp = matcher.head_vars, matcher.vit_params
+    a1, b1 = im_a[None], im_b[None]
+    p1 = matcher._pass1_jit(hv, vp, a1, b1)
+    sync(p1)
+    warp, cert = matcher._pass2_jit(hv, vp, a1, b1, *p1)
+    sync((warp, cert))
+    hw = (448, 448)
+    ss = matcher._sample_solve_batched_jit(warp, cert, 5000, jax.random.PRNGKey(0), hw, hw)
+    sync(ss)
+    t_pass1 = _timeit(lambda i: matcher._pass1_jit(hv, vp, a1, b1), sync, iters)
+    t_pass2 = _timeit(lambda i: matcher._pass2_jit(hv, vp, a1, b1, *p1), sync, iters)
+    t_solve = _timeit(
+        lambda i: matcher._sample_solve_batched_jit(
+            warp, cert, 5000, jax.random.PRNGKey(i), hw, hw
+        ),
+        sync,
+        iters,
+    )
+
+    # ---------------- batched serving ---------------------------------------
+    im_ab = jnp.broadcast_to(im_a, (bsz, 448, 448, 3))
+    im_bb = jnp.broadcast_to(im_b, (bsz, 448, 448, 3))
+
+    def batched(i):
+        return matcher.estimate_homography_batched(
+            im_ab, im_bb, num_matches=5000, key=jax.random.PRNGKey(i)
+        )
+
+    sync(batched(0))  # compile
+    dt_batched = _timeit(batched, sync, max(iters // 2, 3))
+    batched_pairs_per_s = bsz / dt_batched
 
     vs_baseline = 1.0
     if os.path.exists(BASELINE_FILE):
@@ -67,6 +115,13 @@ def main():
                 "value": round(pairs_per_s, 3),
                 "unit": "pairs/s",
                 "vs_baseline": round(vs_baseline, 3),
+                "batched_pairs_per_s": round(batched_pairs_per_s, 3),
+                "batch_size": bsz,
+                "phase_ms": {
+                    "pass1_448": round(t_pass1 * 1e3, 2),
+                    "pass2_560": round(t_pass2 * 1e3, 2),
+                    "sample_solve": round(t_solve * 1e3, 2),
+                },
             }
         )
     )

@@ -49,8 +49,24 @@ def main(argv=None):
     parser.add_argument("--eval_max_pairs", type=int, default=None)
     args, _ = parser.parse_known_args(argv)
 
+    # the axon TPU plugin force-sets jax_platforms at import, clobbering the
+    # JAX_PLATFORMS env var — honor the env explicitly (CPU smoke/dev runs)
+    want = os.environ.get("JAX_PLATFORMS")
+    if want and jax.config.jax_platforms != want:
+        jax.config.update("jax_platforms", want)
+
     if args.multihost:
-        jax.distributed.initialize()
+        # On TPU pods initialize() autodetects from the cloud metadata; for
+        # manual/localhost clusters (incl. the CPU multi-process smoke,
+        # scripts/multihost_smoke.py) pass explicit coordinates via env.
+        kw = {}
+        if os.environ.get("GFNET_COORDINATOR"):
+            kw = dict(
+                coordinator_address=os.environ["GFNET_COORDINATOR"],
+                num_processes=int(os.environ["GFNET_NUM_PROCESSES"]),
+                process_id=int(os.environ["GFNET_PROCESS_ID"]),
+            )
+        jax.distributed.initialize(**kw)
 
     import jax.numpy as jnp
 

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import json
 import os
-from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Iterator
 
 import numpy as np
@@ -216,9 +215,31 @@ class HomographyDataset:
         return (x - IMAGENET_MEAN) / IMAGENET_STD
 
 
+_WORKER_DS: HomographyDataset | None = None
+
+
+def _loader_worker_init(dataset: HomographyDataset, seed: int) -> None:
+    global _WORKER_DS
+    _WORKER_DS = dataset
+    # distinct augmentation/synthesis stream per worker process
+    dataset.rng = np.random.default_rng([seed, os.getpid()])
+
+
+def _loader_worker_get(index: int) -> dict[str, Any]:
+    return _WORKER_DS[index]
+
+
 class BatchLoader:
-    """Threaded prefetching batch iterator (replaces the reference's
-    DataLoader(num_workers=8, RandomSampler) chunks, ref `train.py:123-133`)."""
+    """Prefetching batch iterator over worker PROCESSES.
+
+    The reference uses 8 DataLoader worker processes (`train.py:123-133`);
+    a thread pool can't match that here because the per-sample work (PIL
+    decode + augmentation + cv2 homography warp) is GIL-heavy. Worker
+    processes decode/augment/warp in parallel while `prefetch` whole batches
+    are kept in flight, so the accelerator never waits on the host pipeline
+    (measured: scripts/profile_loader.py). num_workers=0 degrades to
+    synchronous in-process loading (CI/smoke-friendly).
+    """
 
     def __init__(
         self,
@@ -226,22 +247,59 @@ class BatchLoader:
         batch_size: int,
         num_workers: int = 8,
         seed: int = 0,
+        prefetch: int = 2,
         drop_keys: tuple[str, ...] = ("im_A_path", "im_B_path"),
     ):
         self.dataset = dataset
         self.batch_size = batch_size
-        self.pool = ThreadPoolExecutor(max_workers=num_workers)
         self.rng = np.random.default_rng(seed)
+        self.prefetch = prefetch
         self.drop_keys = drop_keys
+        self.pool = None
+        if num_workers > 0:
+            import multiprocessing as mp
+
+            # spawn: never fork a process that already initialized jax/TPU
+            ctx = mp.get_context("spawn")
+            self.pool = ctx.Pool(
+                num_workers, initializer=_loader_worker_init,
+                initargs=(dataset, seed),
+            )
+
+    def _stack(self, samples: list[dict]) -> dict[str, np.ndarray]:
+        return {
+            k: np.stack([s[k] for s in samples])
+            for k in samples[0]
+            if k not in self.drop_keys
+        }
 
     def batches(self, num_batches: int) -> Iterator[dict[str, np.ndarray]]:
         n = len(self.dataset)
+
+        def draw():
+            return self.rng.choice(n, size=self.batch_size, replace=False)
+
+        if self.pool is None:
+            for _ in range(num_batches):
+                yield self._stack([self.dataset[i] for i in draw()])
+            return
+
+        from collections import deque
+
+        pending: deque = deque()
+        submitted = 0
+        while submitted < min(self.prefetch + 1, num_batches):
+            pending.append(self.pool.map_async(_loader_worker_get, draw()))
+            submitted += 1
         for _ in range(num_batches):
-            idx = self.rng.choice(n, size=self.batch_size, replace=False)
-            samples = list(self.pool.map(self.dataset.__getitem__, idx))
-            batch = {}
-            for k in samples[0]:
-                if k in self.drop_keys:
-                    continue
-                batch[k] = np.stack([s[k] for s in samples])
-            yield batch
+            samples = pending.popleft().get()
+            if submitted < num_batches:
+                pending.append(self.pool.map_async(_loader_worker_get, draw()))
+                submitted += 1
+            yield self._stack(samples)
+
+    def close(self) -> None:
+        if self.pool is not None:
+            self.pool.terminate()
+            self.pool.join()
+            self.pool = None

@@ -63,6 +63,7 @@ class GFNetMatcher:
     ):
         self.cfg = cfg
         self.dtype = dtype
+        self.mesh = None  # set by shard_for_mesh for multi-chip serving
         self.vit = VisionTransformer(cfg.dino, dtype=dtype)
         self.head = GFNet(cfg, dtype=dtype)
         if vit_params is None or head_vars is None:
@@ -79,6 +80,40 @@ class GFNetMatcher:
             x.astype(self.dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x
         )
         return jax.tree.map(cast, params)
+
+    def shard_for_mesh(self, mesh, fsdp_vit: bool = False) -> None:
+        """Distribute serving over a device mesh (data-parallel inference).
+
+        Params are committed replicated (or FSDP-sharded for the frozen ViT)
+        and every raw image batch entering `match`/`estimate_homography*` is
+        sharded over the mesh's `data` axis; GSPMD then partitions the whole
+        match+sample+solve pipeline, inserting collectives over ICI. This is
+        the serving-side analogue of the reference's DDP scaling
+        (`train.py:57,62`) — same jitted code runs on 1 chip or a pod.
+        """
+        from gfnet_tpu.parallel.mesh import (
+            batch_sharding,
+            fsdp_param_sharding,
+            replicated_sharding,
+        )
+
+        self.mesh = mesh
+        self._batch_sharding = batch_sharding(mesh)
+        repl = replicated_sharding(mesh)
+        self.head_vars = jax.device_put(self.head_vars, repl)
+        if fsdp_vit:
+            self.vit_params = jax.tree_util.tree_map(
+                jax.device_put,
+                self.vit_params,
+                fsdp_param_sharding(mesh, self.vit_params),
+            )
+        else:
+            self.vit_params = jax.device_put(self.vit_params, repl)
+
+    def _place_batch(self, x: Array) -> Array:
+        if getattr(self, "mesh", None) is not None and x.shape[0] % self.mesh.size == 0:
+            return jax.device_put(x, self._batch_sharding)
+        return x
 
     @classmethod
     def from_pretrained(
@@ -284,6 +319,8 @@ class GFNetMatcher:
         batched = im_A_raw.ndim == 4
         if not batched:
             im_A_raw, im_B_raw = im_A_raw[None], im_B_raw[None]
+        im_A_raw = self._place_batch(im_A_raw)
+        im_B_raw = self._place_batch(im_B_raw)
         pre_flow, pre_cert, low = self._pass1_jit(
             self.head_vars, self.vit_params, im_A_raw, im_B_raw
         )

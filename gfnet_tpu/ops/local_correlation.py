@@ -155,17 +155,62 @@ def _local_correlation_patch(
 
 
 def _pallas_vmem_estimate(target_shape, query_shape, radius: int) -> float:
-    """f32 VMEM bytes the Pallas kernel needs resident per program: the
-    padded target block (channels lane-padded to a multiple of 128) plus the
-    per-row patch scratch. Mirrors ops/pallas/local_corr.py's block specs."""
+    """f32 VMEM bytes the Pallas kernel's pipeline needs: 2x the padded
+    target block (Pallas double-buffers revisited inputs across the grid) +
+    2x the per-tile query/fw/out blocks + the patch scratch, with the channel
+    and K dims lane-padded to multiples of 128. Mirrors
+    ops/pallas/local_corr.py's block specs; used only as a cheap pre-filter
+    before the definitive probe compile (`_pallas_supported`)."""
     _, h, w, c = target_shape
-    g2 = query_shape[2]
+    b, g1, g2 = query_shape[0], query_shape[1], query_shape[2]
     pad = 2 * radius + 4
     win = 2 * radius + 2
-    lanes = -(-c // 128) * 128
-    target_bytes = (h + 2 * pad) * (w + 2 * pad) * lanes * 4
-    scratch_bytes = g2 * win * win * lanes * 4
-    return float(target_bytes + scratch_bytes)
+    k = (2 * radius + 1) ** 2
+    lanes = lambda n: -(-n // 128) * 128
+    target_bytes = (h + 2 * pad) * (w + 2 * pad) * lanes(c) * 4
+    from gfnet_tpu.ops.pallas.local_corr import _rows_per_program
+
+    rows = _rows_per_program(g1)
+    tile_bytes = rows * g2 * (lanes(c) + lanes(2) + lanes(k)) * 4
+    scratch_bytes = g2 * win * win * lanes(c) * 4
+    sel_bytes = 4 * win * win * lanes(k) * 4
+    return float(2 * target_bytes + 2 * tile_bytes + scratch_bytes + sel_bytes)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _pallas_probe(query, target, flow, radius):
+    from gfnet_tpu.ops.pallas.local_corr import local_correlation_pallas
+
+    return local_correlation_pallas(query, target, flow, radius)
+
+
+_PROBE_CACHE: dict = {}
+
+
+def _pallas_supported(tshape, qshape, radius: int) -> bool:
+    """Definitive per-shape gate: try to COMPILE the standalone Pallas call
+    (cached). A VMEM-overflow shape fails here and auto-falls back to the
+    patch-gather path instead of failing the user's jit compile — the
+    estimate alone proved too brittle across radius/channel/grid configs."""
+    key = (tuple(tshape), tuple(qshape), radius)
+    hit = _PROBE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    if _pallas_vmem_estimate(tshape, qshape, radius) > 256e6:
+        _PROBE_CACHE[key] = False  # don't bother the compiler
+        return False
+    import jax.numpy as _jnp
+
+    q = jax.ShapeDtypeStruct(tuple(qshape), _jnp.float32)
+    t = jax.ShapeDtypeStruct(tuple(tshape), _jnp.float32)
+    f = jax.ShapeDtypeStruct(tuple(qshape[:3]) + (2,), _jnp.float32)
+    try:
+        _pallas_probe.lower(q, t, f, radius).compile()
+        ok = True
+    except Exception:
+        ok = False
+    _PROBE_CACHE[key] = ok
+    return ok
 
 
 def local_correlation(
@@ -192,16 +237,24 @@ def local_correlation(
         # v5e device sweep (scripts/profile_lc_all.py, 2026-08-18): the Pallas
         # kernel beats the XLA patch-gather at every flagship shape it fits
         # (1.5-2.1ms vs 2.3-4.8ms per call); it keeps the padded target
-        # resident in VMEM with the channel dim lane-padded to 128, so it only
-        # fits when that f32 buffer (+ per-row patch scratch) stays under the
-        # VMEM budget. 2@560 (296^2 x 128 lanes = 45 MB) is the one flagship
-        # shape over budget -> patch-gather.
+        # resident in VMEM with the channel dim lane-padded to 128, so small-C
+        # fine scales at large maps (2@560) can overflow VMEM -> patch-gather.
+        # GFNET_FORCE_PALLAS: "1" = hard-force pallas (bypasses the gate, for
+        # profiling A/Bs), "0" = hard-off, unset = auto (probe compile).
+        force = os.environ.get("GFNET_FORCE_PALLAS")
         on_tpu = jax.default_backend() in ("tpu", "axon")
-        if on_tpu and os.environ.get("GFNET_FORCE_PALLAS") != "0":
-            if _pallas_vmem_estimate(target.shape, query.shape, radius) <= 40e6:
-                from gfnet_tpu.ops.pallas.local_corr import local_correlation_pallas
+        if force == "1":
+            from gfnet_tpu.ops.pallas.local_corr import local_correlation_pallas
 
-                return local_correlation_pallas(query, target, flow, radius)
+            return local_correlation_pallas(query, target, flow, radius)
+        if (
+            on_tpu
+            and force != "0"
+            and _pallas_supported(target.shape, query.shape, radius)
+        ):
+            from gfnet_tpu.ops.pallas.local_corr import local_correlation_pallas
+
+            return local_correlation_pallas(query, target, flow, radius)
         return _local_correlation_patch(query, target, flow, radius)
     if impl == "patch":
         return _local_correlation_patch(query, target, flow, radius)

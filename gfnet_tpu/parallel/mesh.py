@@ -35,9 +35,19 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch, axis_name: str = "data"):
-    """Place a host-local pytree of arrays batch-sharded on the mesh."""
+    """Place a host-local pytree of arrays batch-sharded on the mesh.
+
+    Single-process: a plain device_put scatter. Multi-process: each process
+    holds only ITS batch rows (per-process file sharding, `data/dataset.py`),
+    so the global array is assembled from process-local shards — the jax
+    equivalent of DDP's per-rank loaders (`train.py:123-133`).
+    """
     sh = batch_sharding(mesh, axis_name)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)), batch
+    )
 
 
 def fsdp_param_sharding(mesh: Mesh, params, axis_name: str = "data", min_size: int = 2**16):
