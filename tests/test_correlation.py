@@ -145,3 +145,29 @@ def test_local_correlation_patch_grad_flows_to_query():
     gp = jax.grad(lambda qq: jnp.sum(jnp.sin(_local_correlation_patch(qq, t, f, 2))))(q)
     gg = jax.grad(lambda qq: jnp.sum(jnp.sin(_local_correlation_gather(qq, t, f, 2))))(q)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gg), rtol=1e-4, atol=1e-4)
+
+
+def test_corr_volume_flow_sharded_matches_dense():
+    """Grid-block sharding over the 8-device mesh (SURVEY §5 scaling story):
+    the flash-style distributed softmax expectation must equal the dense
+    fused op elementwise."""
+    import jax
+
+    from gfnet_tpu.ops.correlation import corr_volume_flow, corr_volume_flow_sharded
+    from gfnet_tpu.parallel.mesh import create_mesh
+
+    rng = np.random.default_rng(11)
+    f0 = jnp.asarray(rng.standard_normal((2, 8, 8, 16)).astype(np.float32) * 3)
+    f1 = jnp.asarray(rng.standard_normal((2, 8, 8, 16)).astype(np.float32) * 3)
+    dense = corr_volume_flow(f0, f1)
+    mesh = create_mesh(8)
+    sharded = corr_volume_flow_sharded(f0, f1, mesh)
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(dense), atol=1e-5, rtol=0
+    )
+    # per-device slice of the target features really is N1/8
+    f1_flat = f1.reshape(2, 64, 16)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    placed = jax.device_put(f1_flat, NamedSharding(mesh, P(None, "data", None)))
+    assert placed.addressable_shards[0].data.shape == (2, 8, 16)
