@@ -41,6 +41,34 @@ def _timeit(fn, sync, iters):
     return (time.perf_counter() - t0) / iters
 
 
+def _timeit_fetch(fn, pick, iters, roundtrip_s):
+    """Tunnel-safe phase timing: the remote runtime's final sync is lazy and
+    its dispatch queue absorbs short loops, so force a tiny host fetch every
+    iteration (completion proof) and subtract the measured fetch roundtrip."""
+    import numpy as np
+
+    np.asarray(pick(fn(0)))  # warm
+    t0 = time.perf_counter()
+    for i in range(iters):
+        np.asarray(pick(fn(i)))
+    dt = (time.perf_counter() - t0) / iters - roundtrip_s
+    return max(dt, 0.0)
+
+
+def _measure_roundtrip(iters: int = 20) -> float:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    triv = jax.jit(lambda x, i: x.sum() + i)
+    x = jnp.ones((8, 128))
+    np.asarray(triv(x, 0))
+    t0 = time.perf_counter()
+    for i in range(iters):
+        np.asarray(triv(x, i))
+    return (time.perf_counter() - t0) / iters
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -65,27 +93,43 @@ def main():
         )
 
     sync(one_pair(0))  # compile
-    dt_single = _timeit(one_pair, sync, iters)
+    rt0 = _measure_roundtrip()
+    dt_single = _timeit_fetch(one_pair, lambda H: H, iters, rt0)
     pairs_per_s = 1.0 / dt_single
 
     # ---------------- per-phase split (single-stream) -----------------------
+    # The remote tunnel can serve repeated identical (executable, args)
+    # dispatches from a result cache, so every timed iteration must see a
+    # distinct input buffer (pre-staged on device, outside the timed loop).
     hv, vp = matcher.head_vars, matcher.vit_params
-    a1, b1 = im_a[None], im_b[None]
-    p1 = matcher._pass1_jit(hv, vp, a1, b1)
+    variants_a = [
+        jnp.asarray((np.asarray(im_a) + 1e-4 * j).clip(0, 1)[None]) for j in range(iters)
+    ]
+    b1 = im_b[None]
+    p1 = matcher._pass1_jit(hv, vp, variants_a[0], b1)
     sync(p1)
-    warp, cert = matcher._pass2_jit(hv, vp, a1, b1, *p1)
+    warp, cert = matcher._pass2_jit(hv, vp, variants_a[0], b1, *p1)
     sync((warp, cert))
     hw = (448, 448)
     ss = matcher._sample_solve_batched_jit(warp, cert, 5000, jax.random.PRNGKey(0), hw, hw)
     sync(ss)
-    t_pass1 = _timeit(lambda i: matcher._pass1_jit(hv, vp, a1, b1), sync, iters)
-    t_pass2 = _timeit(lambda i: matcher._pass2_jit(hv, vp, a1, b1, *p1), sync, iters)
-    t_solve = _timeit(
+    rt = _measure_roundtrip()
+    t_pass1 = _timeit_fetch(
+        lambda i: matcher._pass1_jit(hv, vp, variants_a[i], b1),
+        lambda out: out[0][0, 0, 0],
+        iters, rt,
+    )
+    t_pass2 = _timeit_fetch(
+        lambda i: matcher._pass2_jit(hv, vp, variants_a[i], b1, *p1),
+        lambda out: out[0][0, 0, 0],
+        iters, rt,
+    )
+    t_solve = _timeit_fetch(
         lambda i: matcher._sample_solve_batched_jit(
             warp, cert, 5000, jax.random.PRNGKey(i), hw, hw
         ),
-        sync,
-        iters,
+        lambda out: out[0, 0, 0],
+        iters, rt,
     )
 
     # ---------------- batched serving ---------------------------------------
@@ -98,7 +142,7 @@ def main():
         )
 
     sync(batched(0))  # compile
-    dt_batched = _timeit(batched, sync, max(iters // 2, 3))
+    dt_batched = _timeit_fetch(batched, lambda Hs: Hs[0], max(iters // 2, 3), rt0)
     batched_pairs_per_s = bsz / dt_batched
 
     vs_baseline = 1.0

@@ -347,13 +347,21 @@ class GFNetMatcher:
         k1, k2 = jax.random.split(key)
 
         def gumbel_topk(weights, kk, kcount):
+            import os
+
             logw = jnp.log(jnp.maximum(weights, 1e-30))
             logw = jnp.where(weights <= 0, -jnp.inf, logw)
             u = jax.random.uniform(kk, weights.shape, minval=1e-20, maxval=1.0)
             g = -jnp.log(-jnp.log(u))
             # approx_max_k: exact top-k with k~20k over ~200k lanes is slow
             # on TPU; the sampled set is random anyway, so 95% recall against
-            # the exact Gumbel draw is statistically equivalent.
+            # the exact Gumbel draw is statistically equivalent (A/B'd on the
+            # synthetic benchmark: MACE identical within noise,
+            # scripts/ab_sampling.py). GFNET_EXACT_TOPK=1 keeps an exact
+            # escape hatch for such A/Bs.
+            if os.environ.get("GFNET_EXACT_TOPK") == "1":
+                _, idx = jax.lax.top_k(logw + g, kcount)
+                return idx
             _, idx = jax.lax.approx_max_k(logw + g, kcount, recall_target=0.95)
             return idx
 

@@ -34,6 +34,8 @@ def main(argv=None):
     p.add_argument("--lr_per_sample", type=float, default=4e-4)
     p.add_argument("--grad_clip", type=float, default=1.0)
     p.add_argument("--out", type=str, default=None, help="write JSON results here")
+    p.add_argument("--save_head", type=str, default=None,
+                   help="save the trained head variables to this .npz")
     args = p.parse_args(argv)
 
     import os
@@ -82,6 +84,13 @@ def main(argv=None):
             )
 
     matcher.head_vars = {"params": state.params, "batch_stats": state.batch_stats}
+    if args.save_head:
+        flat = {
+            "/".join(str(k.key) for k in path): np.asarray(v)
+            for path, v in jax.tree_util.tree_flatten_with_path(matcher.head_vars)[0]
+        }
+        np.savez(args.save_head, **flat)
+        print(f"saved trained head to {args.save_head}")
     mace1, errors = benchmark_mace(matcher, bench)
     print(f"trained MACE = {mace1:.2f} px (baseline {mace0:.2f})")
     result = {
