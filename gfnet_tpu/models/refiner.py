@@ -22,6 +22,8 @@ we stop_gradient the sampled windows identically.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -126,6 +128,27 @@ class ConvRefiner(nn.Module):
     kernel_size: int = 5
     dtype: jnp.dtype = jnp.bfloat16
 
+    def _use_fused_stack(self, d_shape, train: bool) -> bool:
+        """Dispatch the fused Pallas block stack (inference, TPU, fitting
+        shapes). GFNET_FUSED_REFINER: "1" skips the probe gate, "0" hard-off,
+        unset = auto (probe-compile per shape, cached)."""
+        if train:
+            return False
+        force = os.environ.get("GFNET_FUSED_REFINER")
+        if force == "0":
+            return False
+        if jax.default_backend() not in ("tpu", "axon"):
+            return False
+        if self.is_initializing():
+            return False
+        if force == "1":
+            return True
+        from gfnet_tpu.ops.pallas.refine_stack import fused_stack_supported
+
+        return fused_stack_supported(
+            tuple(d_shape), store_dtype=self.dtype, ksize=self.kernel_size
+        )
+
     @nn.compact
     def __call__(
         self,
@@ -155,15 +178,37 @@ class ConvRefiner(nn.Module):
             # Only the window sampling is non-differentiable in the reference
             # (`local_correlation.py:54`): grads flow into the query features
             # but not through the warped target windows.
+            # Inference stores the Pallas operands in the model compute dtype
+            # (bf16 flagship): lossless — the features were produced in bf16 —
+            # and it halves the kernel's VMEM/HBM footprint. Training keeps
+            # f32 operands (unchanged backward numerics).
             corr = local_correlation(
                 grid_feature.astype(jnp.float32),
                 jax.lax.stop_gradient(target_feat.astype(jnp.float32)),
                 jax.lax.stop_gradient(flow),
                 self.radius,
+                compute_dtype=None if train else dt,
             )
             feats.append(corr.astype(dt))
         d = jnp.concatenate(feats, axis=-1)
         assert d.shape[-1] == self.hidden_dim, (d.shape, self.hidden_dim)
+
+        if self._use_fused_stack(d.shape, train):
+            # Inference-only fused Pallas path: the whole block1 + hidden
+            # stack + out_conv runs as channels-in-sublane kernels with BN
+            # folded (see ops/pallas/refine_stack.py). Training keeps the
+            # flax path (batch-stat reductions + XLA backward).
+            from gfnet_tpu.ops.pallas.refine_stack import fused_refine_stack
+
+            v = self.variables
+            return fused_refine_stack(
+                d.astype(jnp.float32),
+                v["params"],
+                v["batch_stats"],
+                hidden_blocks=self.hidden_blocks,
+                ksize=self.kernel_size,
+                store_dtype=dt,
+            )
 
         d = RefineBlock(self.hidden_dim, self.kernel_size, dtype=dt, name="block1")(d, train)
         Scanned = nn.scan(

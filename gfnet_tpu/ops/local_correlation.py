@@ -154,7 +154,9 @@ def _local_correlation_patch(
     return comb.reshape(b, g1, g2, k) / float(np.sqrt(c))
 
 
-def _pallas_vmem_estimate(target_shape, query_shape, radius: int) -> float:
+def _pallas_vmem_estimate(
+    target_shape, query_shape, radius: int, compute_dtype=jnp.float32
+) -> float:
     """f32 VMEM bytes the Pallas kernel's pipeline needs: 2x the padded
     target block (Pallas double-buffers revisited inputs across the grid) +
     2x the per-tile query/fw/out blocks + the patch scratch, with the channel
@@ -167,36 +169,39 @@ def _pallas_vmem_estimate(target_shape, query_shape, radius: int) -> float:
     win = 2 * radius + 2
     k = (2 * radius + 1) ** 2
     lanes = lambda n: -(-n // 128) * 128
-    target_bytes = (h + 2 * pad) * (w + 2 * pad) * lanes(c) * 4
+    nbytes = jnp.dtype(compute_dtype).itemsize
+    target_bytes = (h + 2 * pad) * (w + 2 * pad) * lanes(c) * nbytes
     from gfnet_tpu.ops.pallas.local_corr import _rows_per_program
 
     rows = _rows_per_program(g1)
-    tile_bytes = rows * g2 * (lanes(c) + lanes(2) + lanes(k)) * 4
-    scratch_bytes = g2 * win * win * lanes(c) * 4
+    tile_bytes = rows * g2 * (lanes(c) * nbytes + (lanes(2) + lanes(k)) * 4)
+    scratch_bytes = g2 * win * win * lanes(c) * nbytes
     sel_bytes = 4 * win * win * lanes(k) * 4
     return float(2 * target_bytes + 2 * tile_bytes + scratch_bytes + sel_bytes)
 
 
-@partial(jax.jit, static_argnums=(3,))
-def _pallas_probe(query, target, flow, radius):
+@partial(jax.jit, static_argnums=(3, 4))
+def _pallas_probe(query, target, flow, radius, compute_dtype):
     from gfnet_tpu.ops.pallas.local_corr import local_correlation_pallas
 
-    return local_correlation_pallas(query, target, flow, radius)
+    return local_correlation_pallas(
+        query, target, flow, radius, compute_dtype=compute_dtype
+    )
 
 
 _PROBE_CACHE: dict = {}
 
 
-def _pallas_supported(tshape, qshape, radius: int) -> bool:
+def _pallas_supported(tshape, qshape, radius: int, compute_dtype) -> bool:
     """Definitive per-shape gate: try to COMPILE the standalone Pallas call
     (cached). A VMEM-overflow shape fails here and auto-falls back to the
     patch-gather path instead of failing the user's jit compile — the
     estimate alone proved too brittle across radius/channel/grid configs."""
-    key = (tuple(tshape), tuple(qshape), radius)
+    key = (tuple(tshape), tuple(qshape), radius, jnp.dtype(compute_dtype).name)
     hit = _PROBE_CACHE.get(key)
     if hit is not None:
         return hit
-    if _pallas_vmem_estimate(tshape, qshape, radius) > 256e6:
+    if _pallas_vmem_estimate(tshape, qshape, radius, compute_dtype) > 256e6:
         _PROBE_CACHE[key] = False  # don't bother the compiler
         return False
     import jax.numpy as _jnp
@@ -205,7 +210,7 @@ def _pallas_supported(tshape, qshape, radius: int) -> bool:
     t = jax.ShapeDtypeStruct(tuple(tshape), _jnp.float32)
     f = jax.ShapeDtypeStruct(tuple(qshape[:3]) + (2,), _jnp.float32)
     try:
-        _pallas_probe.lower(q, t, f, radius).compile()
+        _pallas_probe.lower(q, t, f, radius, compute_dtype).compile()
         ok = True
     except Exception:
         ok = False
@@ -219,6 +224,7 @@ def local_correlation(
     flow: Array,
     radius: int,
     impl: str = "auto",
+    compute_dtype: jnp.dtype | None = None,
 ) -> Array:
     """Compute local correlation.
 
@@ -227,10 +233,14 @@ def local_correlation(
       target: (B, H, W, C) target feature map.
       flow:   (B, G, G, 2) normalized xy sample centers.
       radius: window radius r; output K = (2r+1)^2 taps.
+      compute_dtype: operand storage dtype for the Pallas path (bfloat16
+        halves VMEM/HBM traffic; lossless when features were bf16 upstream).
+        None = float32. The fallback paths always compute f32.
     Returns:
       (B, G, G, K) correlation, ordered ky-major to match the reference's
       channel layout (`local_correlation.py:49-51`).
     """
+    cd = jnp.float32 if compute_dtype is None else compute_dtype
     if impl == "auto":
         import os
 
@@ -239,6 +249,8 @@ def local_correlation(
         # (1.5-2.1ms vs 2.3-4.8ms per call); it keeps the padded target
         # resident in VMEM with the channel dim lane-padded to 128, so small-C
         # fine scales at large maps (2@560) can overflow VMEM -> patch-gather.
+        # bf16 compute_dtype (the inference path) halves that residency and
+        # brings 2@560 into the Pallas path too.
         # GFNET_FORCE_PALLAS: "1" = hard-force pallas (bypasses the gate, for
         # profiling A/Bs), "0" = hard-off, unset = auto (probe compile).
         force = os.environ.get("GFNET_FORCE_PALLAS")
@@ -246,15 +258,17 @@ def local_correlation(
         if force == "1":
             from gfnet_tpu.ops.pallas.local_corr import local_correlation_pallas
 
-            return local_correlation_pallas(query, target, flow, radius)
+            return local_correlation_pallas(query, target, flow, radius,
+                                            compute_dtype=cd)
         if (
             on_tpu
             and force != "0"
-            and _pallas_supported(target.shape, query.shape, radius)
+            and _pallas_supported(target.shape, query.shape, radius, cd)
         ):
             from gfnet_tpu.ops.pallas.local_corr import local_correlation_pallas
 
-            return local_correlation_pallas(query, target, flow, radius)
+            return local_correlation_pallas(query, target, flow, radius,
+                                            compute_dtype=cd)
         return _local_correlation_patch(query, target, flow, radius)
     if impl == "patch":
         return _local_correlation_patch(query, target, flow, radius)
@@ -263,5 +277,6 @@ def local_correlation(
     if impl == "pallas":
         from gfnet_tpu.ops.pallas.local_corr import local_correlation_pallas
 
-        return local_correlation_pallas(query, target, flow, radius)
+        return local_correlation_pallas(query, target, flow, radius,
+                                        compute_dtype=cd)
     raise ValueError(f"unknown impl {impl}")

@@ -193,7 +193,7 @@ def _run(kernel, main_in, by, bx, fw, target_pad, out_channels, *, radius, inter
             (1, rows, g2, out_channels), lambda bb, i, *prefetch: (bb, i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[pltpu.VMEM((g2, win, win, c), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((g2, win, win, c), target_pad.dtype)],
     )
     return pl.pallas_call(
         kern,
@@ -203,40 +203,49 @@ def _run(kernel, main_in, by, bx, fw, target_pad, out_channels, *, radius, inter
     )(by, bx, main_in, fw, sel, target_pad)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def local_correlation_pallas(
-    query: Array, target: Array, flow: Array, radius: int, interpret: bool = False
+    query: Array, target: Array, flow: Array, radius: int,
+    interpret: bool = False, compute_dtype: jnp.dtype = jnp.float32,
 ) -> Array:
-    """(B, G, G, C), (B, H, W, C), (B, G, G, 2) → (B, G, G, (2r+1)^2)."""
-    out, _ = _fwd(query, target, flow, radius, interpret)
+    """(B, G, G, C), (B, H, W, C), (B, G, G, 2) → (B, G, G, (2r+1)^2).
+
+    compute_dtype=bfloat16 stores the padded target + query feature operands
+    in bf16 (the MXU contraction still accumulates f32) — halves the VMEM
+    residency so the biggest flagship shape (2@560, 45 MB f32) fits, and
+    halves HBM traffic everywhere. Lossless when the features were produced
+    in bf16 upstream (the flagship inference path is)."""
+    out, _ = _fwd(query, target, flow, radius, interpret, compute_dtype)
     return out
 
 
-def _prep(query, target, flow, radius):
+def _prep(query, target, flow, radius, dtype=jnp.float32):
     b, g1, g2, _ = query.shape
     _, h, w, _ = target.shape
     pad = 2 * radius + 4
     by, bx, fy, fx = _precompute(flow.astype(jnp.float32), h, w, radius, pad)
     target_pad = jnp.pad(
-        target.astype(jnp.float32), ((0, 0), (pad, pad), (pad, pad), (0, 0))
+        target.astype(dtype), ((0, 0), (pad, pad), (pad, pad), (0, 0))
     )
     fw = jnp.stack([fy, fx], axis=-1)  # (B, G, G, 2)
     flat = lambda t: t.reshape(b * g1 * g2)
     return flat(by), flat(bx), fw, target_pad
 
 
-def _fwd(query, target, flow, radius, interpret):
+def _fwd(query, target, flow, radius, interpret, compute_dtype=jnp.float32):
     k = (2 * radius + 1) ** 2
-    by, bx, fw, target_pad = _prep(query, target, flow, radius)
+    by, bx, fw, target_pad = _prep(query, target, flow, radius, compute_dtype)
     out = _run(
-        _fwd_kernel, query.astype(jnp.float32), by, bx, fw, target_pad, k,
+        _fwd_kernel, query.astype(compute_dtype), by, bx, fw, target_pad, k,
         radius=radius, interpret=interpret,
     )
     return out, (target, flow)
 
 
-def _bwd(radius, interpret, res, g):
+def _bwd(radius, interpret, compute_dtype, res, g):
     target, flow = res
+    # backward (training) always runs f32 — the stop-grad window sampling
+    # means only dq flows, and training numerics stay unchanged.
     by, bx, fw, target_pad = _prep(g, target, flow, radius)  # g has query's grid shape
     dq = _run(
         _bwd_kernel, g.astype(jnp.float32), by, bx, fw, target_pad,

@@ -38,6 +38,21 @@ def test_local_corr_pallas_nonfinite_flow_is_zero():
     np.testing.assert_array_equal(np.asarray(out), 0.0)
 
 
+def test_local_corr_pallas_bf16_storage_lossless_on_bf16_inputs():
+    """bf16 compute_dtype is exact when the features are bf16-representable
+    (the flagship inference path: features are produced in bf16 upstream)."""
+    rng = np.random.default_rng(4)
+    radius, g, h, c = 2, 8, 12, 8
+    q = jnp.asarray(rng.standard_normal((2, g, g, c)).astype(np.float32))
+    t = jnp.asarray(rng.standard_normal((2, h, h, c)).astype(np.float32))
+    q = q.astype(jnp.bfloat16).astype(jnp.float32)
+    t = t.astype(jnp.bfloat16).astype(jnp.float32)
+    fl = jnp.asarray(rng.uniform(-1.2, 1.2, (2, g, g, 2)).astype(np.float32))
+    ref = _local_correlation_gather(q, t, fl, radius)
+    ours = local_correlation_pallas(q, t, fl, radius, True, jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
 def test_local_corr_pallas_grad_matches_gather_grad():
     rng = np.random.default_rng(3)
     radius, g, h, c = 2, 6, 10, 8
