@@ -157,12 +157,12 @@ def _local_correlation_patch(
 def _pallas_vmem_estimate(
     target_shape, query_shape, radius: int, compute_dtype=jnp.float32
 ) -> float:
-    """f32 VMEM bytes the Pallas kernel's pipeline needs: 2x the padded
-    target block (Pallas double-buffers revisited inputs across the grid) +
-    2x the per-tile query/fw/out blocks + the patch scratch, with the channel
-    and K dims lane-padded to multiples of 128. Mirrors
-    ops/pallas/local_corr.py's block specs; used only as a cheap pre-filter
-    before the definitive probe compile (`_pallas_supported`)."""
+    """VMEM bytes the Pallas kernel's pipeline needs: 2x the padded target
+    block (Pallas double-buffers revisited inputs across the grid) + 2x the
+    per-tile query/fw/out blocks + the patch scratch, with the channel and K
+    dims lane-padded to multiples of 128. Mirrors ops/pallas/local_corr.py's
+    block specs; used only as a cheap pre-filter before the definitive probe
+    compile (`_pallas_supported`)."""
     _, h, w, c = target_shape
     b, g1, g2 = query_shape[0], query_shape[1], query_shape[2]
     pad = 2 * radius + 4
@@ -175,7 +175,7 @@ def _pallas_vmem_estimate(
 
     rows = _rows_per_program(g1)
     tile_bytes = rows * g2 * (lanes(c) * nbytes + (lanes(2) + lanes(k)) * 4)
-    scratch_bytes = g2 * win * win * lanes(c) * nbytes
+    scratch_bytes = g2 * win * win * lanes(c) * 4  # patches staged f32
     sel_bytes = 4 * win * win * lanes(k) * 4
     return float(2 * target_bytes + 2 * tile_bytes + scratch_bytes + sel_bytes)
 
@@ -244,13 +244,13 @@ def local_correlation(
     if impl == "auto":
         import os
 
-        # v5e device sweep (scripts/profile_lc_all.py, 2026-08-18): the Pallas
-        # kernel beats the XLA patch-gather at every flagship shape it fits
-        # (1.5-2.1ms vs 2.3-4.8ms per call); it keeps the padded target
-        # resident in VMEM with the channel dim lane-padded to 128, so small-C
-        # fine scales at large maps (2@560) can overflow VMEM -> patch-gather.
-        # bf16 compute_dtype (the inference path) halves that residency and
-        # brings 2@560 into the Pallas path too.
+        # v5e device sweep (scripts/profile_lc_all.py, 2026-08-19): f32 Pallas
+        # is fastest at every shape it fits (no staging step), but the padded
+        # target map is double-buffered in VMEM with the channel dim
+        # lane-padded to 128, so small-C fine scales at large maps (2@448,
+        # 2@560) overflow. bf16 storage halves that residency and covers
+        # 2@448 (4.1ms vs 11.4ms patch-gather); whatever still overflows
+        # falls back to the XLA patch-gather. Order: f32 -> 16-bit -> patch.
         # GFNET_FORCE_PALLAS: "1" = hard-force pallas (bypasses the gate, for
         # profiling A/Bs), "0" = hard-off, unset = auto (probe compile).
         force = os.environ.get("GFNET_FORCE_PALLAS")
@@ -260,15 +260,14 @@ def local_correlation(
 
             return local_correlation_pallas(query, target, flow, radius,
                                             compute_dtype=cd)
-        if (
-            on_tpu
-            and force != "0"
-            and _pallas_supported(target.shape, query.shape, radius, cd)
-        ):
+        if on_tpu and force != "0":
             from gfnet_tpu.ops.pallas.local_corr import local_correlation_pallas
 
-            return local_correlation_pallas(query, target, flow, radius,
-                                            compute_dtype=cd)
+            for try_cd in dict.fromkeys([jnp.float32, cd]):
+                if _pallas_supported(target.shape, query.shape, radius, try_cd):
+                    return local_correlation_pallas(
+                        query, target, flow, radius, compute_dtype=try_cd
+                    )
         return _local_correlation_patch(query, target, flow, radius)
     if impl == "patch":
         return _local_correlation_patch(query, target, flow, radius)

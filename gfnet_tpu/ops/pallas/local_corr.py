@@ -58,11 +58,34 @@ def _precompute(flow: Array, h: int, w: int, radius: int, pad: int):
     return by, bx, fy, fx
 
 
-def _load_patches(by_ref, bx_ref, target_ref, patches_ref, row, g, win):
+def _load_patches(by_ref, bx_ref, target_ref, patches_ref, stage_ref, row, g, win):
+    if stage_ref is None:
+        # 32-bit storage: dynamic vector loads at arbitrary (y, x) offsets
+        # lower directly.
+        def copy(j, _):
+            y = by_ref[row + j]
+            x = bx_ref[row + j]
+            patches_ref[j] = target_ref[0, pl.ds(y, win), pl.ds(x, win), :]
+            return 0
+
+        jax.lax.fori_loop(0, g, copy, 0)
+        return
+
+    # 16-bit storage: Mosaic only lowers dynamic sublane-dim offsets it can
+    # prove 8-aligned, and window bases never are. Two-step extraction:
+    # an 8-aligned widened bf16 load ((x // 8) * 8 is provably aligned),
+    # converted f32 into a staging scratch, then the residual 0..7 shift as
+    # a dynamic f32 load (f32 has no alignment restriction).
+    wide = stage_ref.shape[1]
+
     def copy(j, _):
         y = by_ref[row + j]
         x = bx_ref[row + j]
-        patches_ref[j] = target_ref[0, pl.ds(y, win), pl.ds(x, win), :]
+        x8 = (x // 8) * 8
+        stage_ref[:] = target_ref[0, pl.ds(y, win), pl.ds(x8, wide), :].astype(
+            jnp.float32
+        )
+        patches_ref[j] = stage_ref[:, pl.ds(x - x8, win), :]
         return 0
 
     jax.lax.fori_loop(0, g, copy, 0)
@@ -79,17 +102,19 @@ def _rows_per_program(g: int) -> int:
 
 
 @functools.lru_cache(maxsize=32)
-def _selection_matrices(win: int) -> tuple[np.ndarray, ...]:
-    """Four (win^2, K) 0/1 matrices mapping the flattened patch lattice to
-    the K=(win-1)^2 window taps for each bilinear corner (dy, dx)."""
+def _selection_matrices(win: int, win_w: int) -> tuple[np.ndarray, ...]:
+    """Four (win*win_w, K) 0/1 matrices mapping the flattened (win, win_w)
+    patch lattice to the K=(win-1)^2 window taps for each bilinear corner
+    (dy, dx). win_w >= win is the (possibly tiling-padded) patch width; the
+    extra columns never select."""
     k = (win - 1) ** 2
     mats = []
     for dy in (0, 1):
         for dx in (0, 1):
-            S = np.zeros((win * win, k), np.float32)
+            S = np.zeros((win * win_w, k), np.float32)
             for ky in range(win - 1):
                 for kx in range(win - 1):
-                    S[(ky + dy) * win + (kx + dx), ky * (win - 1) + kx] = 1.0
+                    S[(ky + dy) * win_w + (kx + dx), ky * (win - 1) + kx] = 1.0
             mats.append(S)
     return tuple(mats)
 
@@ -102,7 +127,8 @@ def _corner_weights(fw, g):
 
 
 def _fwd_kernel(by_ref, bx_ref, query_ref, fw_ref, sel_ref, target_ref, out_ref,
-                patches_ref, *, radius, g, c, rows):
+                patches_ref, *scratch, radius, g, c, rows):
+    stage = scratch[0] if scratch else None
     win = 2 * radius + 2
     inv_sqrt_c = 1.0 / float(np.sqrt(c))
     bb = pl.program_id(0)
@@ -110,11 +136,15 @@ def _fwd_kernel(by_ref, bx_ref, query_ref, fw_ref, sel_ref, target_ref, out_ref,
 
     def rowloop(i, _):
         row = (bb * g + ti * rows + i) * g
-        _load_patches(by_ref, bx_ref, target_ref, patches_ref, row, g, win)
+        _load_patches(by_ref, bx_ref, target_ref, patches_ref, stage, row, g, win)
 
-        # collapse (win, win) keeping the lane (C) dim — supported reshape
+        # collapse (win, win) keeping the lane (C) dim — supported reshape.
+        # The dot runs f32 even for bf16 storage (patches are staged f32;
+        # Mosaic cannot lower this batched-vector matmul form with bf16
+        # operands anyway) — bf16 buys VMEM residency + HBM traffic, not
+        # FLOPs; the kernel is memory-bound so the MXU dtype is irrelevant.
         patches = patches_ref[:].reshape(g, win * win, c)
-        q = query_ref[0, i]  # (g, C)
+        q = query_ref[0, i].astype(jnp.float32)  # (g, C)
         s = jax.lax.dot_general(
             patches, q,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -136,8 +166,9 @@ def _fwd_kernel(by_ref, bx_ref, query_ref, fw_ref, sel_ref, target_ref, out_ref,
 
 
 def _bwd_kernel(by_ref, bx_ref, g_ref, fw_ref, sel_ref, target_ref, dq_ref,
-                patches_ref, *, radius, g, c, rows):
+                patches_ref, *scratch, radius, g, c, rows):
     """dq[j] = spread(g_j) · patch_j: batched adjoint of dot-then-combine."""
+    stage = scratch[0] if scratch else None
     win = 2 * radius + 2
     inv_sqrt_c = 1.0 / float(np.sqrt(c))
     bb = pl.program_id(0)
@@ -145,7 +176,7 @@ def _bwd_kernel(by_ref, bx_ref, g_ref, fw_ref, sel_ref, target_ref, dq_ref,
 
     def rowloop(i, _):
         row = (bb * g + ti * rows + i) * g
-        _load_patches(by_ref, bx_ref, target_ref, patches_ref, row, g, win)
+        _load_patches(by_ref, bx_ref, target_ref, patches_ref, stage, row, g, win)
 
         gj = g_ref[0, i] * inv_sqrt_c  # (g, K)
         mats = [sel_ref[a] for a in range(4)]
@@ -171,7 +202,8 @@ def _run(kernel, main_in, by, bx, fw, target_pad, out_channels, *, radius, inter
     b, g1, g2 = main_in.shape[0], main_in.shape[1], main_in.shape[2]
     hp, wp, c = target_pad.shape[1], target_pad.shape[2], target_pad.shape[3]
     win = 2 * radius + 2
-    sel = jnp.asarray(np.stack(_selection_matrices(win)))  # (4, win^2, K)
+    sixteen_bit = target_pad.dtype.itemsize < 4
+    sel = jnp.asarray(np.stack(_selection_matrices(win, win)))
 
     rows = _rows_per_program(g1)
     kern = functools.partial(kernel, radius=radius, g=g2, c=c, rows=rows)
@@ -193,12 +225,29 @@ def _run(kernel, main_in, by, bx, fw, target_pad, out_channels, *, radius, inter
             (1, rows, g2, out_channels), lambda bb, i, *prefetch: (bb, i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
-        scratch_shapes=[pltpu.VMEM((g2, win, win, c), target_pad.dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((g2, win, win, c), jnp.float32),
+        ]
+        + (
+            # f32 staging for the aligned-load + residual-shift extraction
+            # (see _load_patches); wide = win + 7 rounded to the 8-sublane
+            # tiling so any 0..7 residual slice fits.
+            [pltpu.VMEM((win, -(-(win + 7) // 8) * 8, c), jnp.float32)]
+            if sixteen_bit
+            else []
+        ),
     )
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, g1, g2, out_channels), jnp.float32),
+        # The default scoped-vmem limit is context-dependent (16M was observed
+        # inside the two-pass matcher graph vs ~64M standalone), which made
+        # compile-probe dispatch unreliable; pin the kernel's own budget so
+        # in-model and probe compiles agree, and big-map shapes (2@560) fit.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(by, bx, main_in, fw, sel, target_pad)
 
@@ -223,9 +272,17 @@ def _prep(query, target, flow, radius, dtype=jnp.float32):
     b, g1, g2, _ = query.shape
     _, h, w, _ = target.shape
     pad = 2 * radius + 4
+    win = 2 * radius + 2
+    # 16-bit storage reads a widened aligned patch from base (bx // 8) * 8
+    # (see _load_patches): `extra` right margin keeps that read in bounds
+    # under the unchanged base clamp [0, w + 2*pad - win]. The widened tail
+    # is never selected, so zeros-padding semantics (incl. fully-out-of-range
+    # windows) hold as-is.
+    wide = -(-(win + 7) // 8) * 8 if jnp.dtype(dtype).itemsize < 4 else win
+    extra = wide - win
     by, bx, fy, fx = _precompute(flow.astype(jnp.float32), h, w, radius, pad)
     target_pad = jnp.pad(
-        target.astype(dtype), ((0, 0), (pad, pad), (pad, pad), (0, 0))
+        target.astype(dtype), ((0, 0), (pad, pad), (pad, pad + extra), (0, 0))
     )
     fw = jnp.stack([fy, fx], axis=-1)  # (B, G, G, 2)
     flat = lambda t: t.reshape(b * g1 * g2)

@@ -36,6 +36,11 @@ def main(argv=None):
     p.add_argument("--out", type=str, default=None, help="write JSON results here")
     p.add_argument("--save_head", type=str, default=None,
                    help="save the trained head variables to this .npz")
+    p.add_argument("--config", choices=["tiny", "flagship"], default="tiny",
+                   help="tiny (112->168, CPU-friendly) or flagship (448->560, "
+                   "basic.json architecture; run on TPU)")
+    p.add_argument("--dtype", choices=["f32", "bf16"], default=None,
+                   help="compute dtype (default: f32 tiny, bf16 flagship)")
     args = p.parse_args(argv)
 
     import os
@@ -48,16 +53,19 @@ def main(argv=None):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
 
-    from gfnet_tpu.config import TrainConfig, tiny_test_config
+    from gfnet_tpu.config import ModelConfig, TrainConfig, tiny_test_config
     from gfnet_tpu.eval.synthetic import benchmark_mace, eval_pairs, train_batch
     from gfnet_tpu.matcher.api import GFNetMatcher
     from gfnet_tpu.train.loss import RobustLoss
     from gfnet_tpu.train.state import create_train_state
     from gfnet_tpu.train.step import make_train_step
 
-    cfg = tiny_test_config()
+    cfg = tiny_test_config() if args.config == "tiny" else ModelConfig()
+    dtype = jnp.float32 if (args.dtype or
+                            ("f32" if args.config == "tiny" else "bf16")) == "f32" \
+        else jnp.bfloat16
     res = cfg.initial_res[0]
-    matcher = GFNetMatcher(cfg, seed=args.seed, dtype=jnp.float32)
+    matcher = GFNetMatcher(cfg, seed=args.seed, dtype=dtype)
 
     bench = eval_pairs(args.eval_pairs, res, args.deformation)
     mace0, _ = benchmark_mace(matcher, bench)
@@ -71,9 +79,16 @@ def main(argv=None):
     state = create_train_state(matcher.head_vars, tcfg, global_batch=args.batch)
     rng = np.random.default_rng(args.seed + 1)
 
+    # One-deep host prefetch: synth of batch i+1 overlaps the device step on
+    # batch i (flagship batch synthesis is ~1s on this host).
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    nxt = pool.submit(train_batch, rng, args.batch, res, args.deformation)
     t0 = time.time()
     for i in range(args.steps):
-        batch = train_batch(rng, args.batch, res, args.deformation)
+        batch = nxt.result()
+        nxt = pool.submit(train_batch, rng, args.batch, res, args.deformation)
         state, metrics = step(state, matcher.vit_params, batch)
         if (i + 1) % args.log_every == 0:
             pck = {k: float(v) for k, v in metrics.items() if "pck" in k}

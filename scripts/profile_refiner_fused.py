@@ -21,15 +21,31 @@ def fetch(out):
     return np.asarray(jnp.sum(leaf))
 
 
-def timed(fn, iters=10, warmup=2):
-    for _ in range(warmup):
-        out = fn()
-    fetch(out)
+_ROUNDTRIP = None
+
+
+def measure_roundtrip(iters: int = 20) -> float:
+    global _ROUNDTRIP
+    if _ROUNDTRIP is None:
+        triv = jax.jit(lambda x, i: x.sum() + i)
+        x = jnp.ones((8, 128))
+        np.asarray(triv(x, 0))
+        t0 = time.perf_counter()
+        for i in range(iters):
+            np.asarray(triv(x, i))
+        _ROUNDTRIP = (time.perf_counter() - t0) / iters
+    return _ROUNDTRIP
+
+
+def timed(fn, variants, iters=10):
+    """Tunnel-safe: distinct input per iteration (defeats the remote result
+    cache) + per-iteration fetch (completion proof) minus fetch roundtrip."""
+    rt = measure_roundtrip()
+    fetch(fn(variants[0]))  # warm/compile
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn()
-    fetch(out)
-    return (time.perf_counter() - t0) / iters
+    for i in range(iters):
+        fetch(fn(variants[i % len(variants)]))
+    return max((time.perf_counter() - t0) / iters - rt, 0.0)
 
 
 def main():
@@ -62,9 +78,10 @@ def main():
         for scale, g in fd.items():
             f0 = jnp.concatenate([f0d[scale], f1d[scale]], 0)
             f1 = jnp.concatenate([f1d[scale], f0d[scale]], 0)
-            flow = jnp.asarray(
-                (rng.uniform(-0.9, 0.9, (2, g, g, 2))).astype(np.float32)
-            )
+            flows = [
+                jnp.asarray(rng.uniform(-0.9, 0.9, (2, g, g, 2)).astype(np.float32))
+                for _ in range(4)
+            ]
             for mode in ("0", "1"):
                 os.environ["GFNET_FUSED_REFINER"] = mode
 
@@ -77,7 +94,7 @@ def main():
                 rj = jax.jit(ref_fn)
                 try:
                     results[f"ref{scale}_{name}@{g}_fused{mode}"] = timed(
-                        lambda: rj(hv, f0, f1, flow)
+                        lambda fl: rj(hv, f0, f1, fl), flows
                     )
                 except Exception as e:  # noqa: BLE001
                     results[f"ref{scale}_{name}@{g}_fused{mode}"] = float("nan")
