@@ -42,6 +42,9 @@ class DinoConfig:
     pos_embed_size: int = 37  # 518 // 14, ref `model/network.py:48`
     mlp_ratio: float = 4.0
     init_values: float = 1.0  # LayerScale
+    # "mlp" or "swiglufused" (ref `dinov2.py:84,107-116`; the GFNet backbone
+    # ViT-L uses mlp, real DINOv2-g checkpoints need swiglufused).
+    ffn_layer: str = "mlp"
     decoder_cfg: DecoderConfig = dataclasses.field(default_factory=DecoderConfig)
 
 

@@ -80,6 +80,23 @@ class Mlp(nn.Module):
         return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
 
 
+class SwiGLUFFNFused(nn.Module):
+    """SwiGLU FFN with the DINOv2 fused-width rule (ref `layers/swiglu_ffn.py:13-62`):
+    hidden = (int(dim * mlp_ratio * 2/3) + 7) // 8 * 8, packed w12 projection.
+    Used by real DINOv2-g checkpoints (`dinov2.py:109-110`)."""
+
+    dim: int
+    hidden: int  # pre-2/3 width, i.e. int(dim * mlp_ratio)
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        hf = (int(self.hidden * 2 / 3) + 7) // 8 * 8
+        x12 = nn.Dense(2 * hf, dtype=self.dtype, name="w12")(x)
+        x1, x2 = x12[..., :hf], x12[..., hf:]
+        return nn.Dense(self.dim, dtype=self.dtype, name="w3")(jax.nn.silu(x1) * x2)
+
+
 class Block(nn.Module):
     """Pre-norm residual block with LayerScale (ref `layers/block.py:36-107`)."""
 
@@ -88,6 +105,7 @@ class Block(nn.Module):
     mlp_ratio: float = 4.0
     init_values: float = 1.0
     dtype: jnp.dtype = jnp.bfloat16
+    ffn_layer: str = "mlp"  # "mlp" | "swiglufused" (ref `dinov2.py:107-116`)
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -95,7 +113,13 @@ class Block(nn.Module):
         h = Attention(self.dim, self.num_heads, self.dtype, name="attn")(h)
         x = x + LayerScale(self.dim, self.init_values, name="ls1")(h)
         h = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
-        h = Mlp(self.dim, int(self.dim * self.mlp_ratio), self.dtype, name="mlp")(h)
+        hidden = int(self.dim * self.mlp_ratio)
+        if self.ffn_layer == "mlp":
+            h = Mlp(self.dim, hidden, self.dtype, name="mlp")(h)
+        elif self.ffn_layer in ("swiglu", "swiglufused"):
+            h = SwiGLUFFNFused(self.dim, hidden, self.dtype, name="mlp")(h)
+        else:
+            raise ValueError(f"unknown ffn_layer {self.ffn_layer!r}")
         return x + LayerScale(self.dim, self.init_values, name="ls2")(h)
 
 
@@ -107,12 +131,13 @@ class _BlockScanBody(nn.Module):
     mlp_ratio: float
     init_values: float
     dtype: jnp.dtype
+    ffn_layer: str = "mlp"
 
     @nn.compact
     def __call__(self, x: Array, _):
         y = Block(
             self.dim, self.num_heads, self.mlp_ratio, self.init_values,
-            self.dtype, name="block",
+            self.dtype, self.ffn_layer, name="block",
         )(x)
         return y, None
 
@@ -176,6 +201,7 @@ class VisionTransformer(nn.Module):
             cfg.mlp_ratio,
             cfg.init_values,
             self.dtype,
+            cfg.ffn_layer,
             name="blocks",
         )(tok, None)
         tok = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(tok)
@@ -218,9 +244,16 @@ def vit_large(**kw) -> VisionTransformer:
     return VisionTransformer(cfg, **kw)
 
 
-def vit_giant2(**kw) -> VisionTransformer:
-    """ViT-g/14 factory (ref `dinov2.py:346-359`)."""
-    cfg = DinoConfig(d_model=1536, depth=40, num_heads=24, patch_size=14, pos_embed_size=37)
+def vit_giant2(ffn_layer: str = "swiglufused", **kw) -> VisionTransformer:
+    """ViT-g/14 factory (ref `dinov2.py:346-359`).
+
+    Real DINOv2-g checkpoints use the fused SwiGLU FFN (`dinov2.py:109-110`),
+    so that is the default here; pass ffn_layer="mlp" to mirror the reference
+    file's (never-exercised) vendored default instead."""
+    cfg = DinoConfig(
+        d_model=1536, depth=40, num_heads=24, patch_size=14,
+        pos_embed_size=37, ffn_layer=ffn_layer,
+    )
     return VisionTransformer(cfg, **kw)
 
 

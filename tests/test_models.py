@@ -152,3 +152,43 @@ def test_gfnet_grad_flows_only_into_head(cfg):
     assert all(bool(jnp.all(jnp.isfinite(g))) for g in leaves)
     total = sum(float(jnp.sum(jnp.abs(g))) for g in leaves)
     assert total > 0
+
+
+def test_vit_swiglu_ffn_golden(cfg):
+    """SwiGLU backbone variant (real DINOv2-g FFN, ref `layers/swiglu_ffn.py:44-62`
+    + `dinov2.py:109-110`): forward works and matches the torch formula
+    hidden = (int(4d*2/3)+7)//8*8, silu(x1)*x2 through packed w12."""
+    import dataclasses
+
+    import torch
+
+    dino = dataclasses.replace(cfg.dino, ffn_layer="swiglufused")
+    vit = VisionTransformer(dino, dtype=jnp.float32)
+    x = jnp.asarray(np.random.default_rng(0).normal(0, 1, (1, 112, 112, 3)), jnp.float32)
+    params = vit.init(jax.random.PRNGKey(0), x)
+    tok = vit.apply(params, x)
+    assert tok.shape == (1, 8 * 8, dino.d_model)
+    assert jnp.all(jnp.isfinite(tok))
+
+    # packed-w12 width rule + formula vs a torch transcription of SwiGLUFFNFused
+    mlp = params["params"]["blocks"]["block"]["mlp"]
+    d = dino.d_model
+    hf = (int(d * dino.mlp_ratio * 2 / 3) + 7) // 8 * 8
+    assert mlp["w12"]["kernel"].shape == (dino.depth, d, 2 * hf)
+    w12 = np.asarray(mlp["w12"]["kernel"][0])
+    b12 = np.asarray(mlp["w12"]["bias"][0])
+    w3 = np.asarray(mlp["w3"]["kernel"][0])
+    b3 = np.asarray(mlp["w3"]["bias"][0])
+    h = np.random.default_rng(1).normal(0, 1, (5, d)).astype(np.float32)
+    x12 = torch.from_numpy(h @ w12 + b12)
+    x1, x2 = x12.chunk(2, dim=-1)
+    want = (torch.nn.functional.silu(x1) * x2).numpy() @ w3 + b3
+
+    from gfnet_tpu.models.vit import SwiGLUFFNFused
+
+    got = SwiGLUFFNFused(d, int(d * dino.mlp_ratio), dtype=jnp.float32).apply(
+        {"params": {"w12": {k: jnp.asarray(v[0]) for k, v in mlp["w12"].items()},
+                    "w3": {k: jnp.asarray(v[0]) for k, v in mlp["w3"].items()}}},
+        jnp.asarray(h),
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
