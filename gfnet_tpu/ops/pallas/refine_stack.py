@@ -1,29 +1,32 @@
-"""Fused Pallas kernels for the ConvRefiner block stack (inference).
+"""Fused Pallas kernel for the ConvRefiner block stack (inference).
 
-The refiner stacks are the engine's dominant non-ViT cost (profile_head:
-ref1@320 9.4 ms, ref2@160 11.8 ms at 560 input). Each of the 9 RefineBlocks
-(depthwise 5x5 -> BN -> ReLU -> 1x1, ref `model/network.py:505-531`) is
-HBM-bandwidth bound at tiny channel counts (C = 24/73 at the fine scales),
-and the NHWC layout XLA uses pads C to the 128-lane width -- every
-inter-block activation round-trip moves up to 5.3x the real bytes.
+The refiner stacks are the engine's dominant non-ViT cost. Each of the 9
+RefineBlocks (depthwise 5x5 -> BN -> ReLU -> 1x1, ref `model/network.py:
+505-531`) is HBM-bandwidth bound at tiny channel counts (C = 24/73 at the
+fine scales), and the NHWC layout XLA uses pads C to the 128-lane width —
+every inter-block activation round-trip moves up to 5.3x the real bytes.
 
-This kernel instead keeps activations in a channels-in-sublane layout
-`(B, H+4, C, W+4)` (lane dim = W, sublane dim = C, zero borders carried in
-the array) between blocks, so HBM traffic is the true activation size:
+This kernel runs the WHOLE stack (block1 + 8 hidden blocks) as ONE
+`pallas_call` over a (B,) grid:
 
-  - depthwise 5x5: 25 static shifted slices (rows = leading dim, cols =
-    lane offsets 0..4) with a per-channel FMA on the VPU -- the same
-    shift-accumulate lowering the XLA path uses, minus the lane padding;
+  - each program holds one image's padded activation entirely in VMEM in a
+    channels-in-sublane layout (H+4, Cp, Wp) — lane dim = W rounded up to
+    the 128-lane tiling, sublane dim = C rounded up to 8, zero borders
+    carried in the array;
+  - blocks execute back-to-back between two VMEM ping-pong buffers, so the
+    only HBM traffic for the whole stack is the input fetch + output store
+    (Pallas double-buffers those across the batch grid);
+  - depthwise 5x5: 25 static shifted slices with a per-channel FMA on the
+    VPU, accumulated in an f32 VMEM scratch (bounds the Mosaic stack);
   - BN (inference) is pre-folded into the depthwise taps and bias on the
     host: s = gamma * rsqrt(var + eps), taps' = taps * s,
     bias' = (dw_bias - mean) * s + beta;
-  - 1x1 conv: one TH-batched MXU dot_general (C_out, C_in) x (C_in, W)
-    per row tile.
+  - 1x1 conv: a row-tile-batched MXU dot_general (C, C) x (C, W).
 
-Each block is one `pallas_call` over a (B, H-tiles) grid; the input stays
-in HBM (`memory_space=ANY`) and each program DMAs its (TH+4)-row halo tile
-into VMEM, computes, and DMAs the TH-row interior back -- overlapping
-halo reads cannot be expressed as pipelined BlockSpecs.
+Mosaic (libtpu 2026-08) compile rules baked in: memref slices along tiled
+dims must be tiling-aligned (hence the Cp/Wp padding); a (C, 1)
+lane-broadcast fused into the matmul epilogue crashes vector_extract_slice,
+so the 1x1 bias arrives pre-broadcast to (C, Wp).
 
 Training mode keeps the unfused flax path (batch-norm batch statistics are
 a global reduction, and the backward pass is XLA's job); the refiner only
@@ -36,16 +39,16 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
 _PAD = 2  # kernel 5x5 -> 2-cell zero border carried in the activation array
+_ACC_BUDGET = 4 * 1024 * 1024  # f32 row-tile accumulator scratch bytes
 
 
-def _row_tile(h: int, cap: int = 64) -> int:
+def _row_tile(h: int, cap: int) -> int:
     """Largest divisor of h that is <= cap."""
     for t in range(min(cap, h), 0, -1):
         if h % t == 0:
@@ -53,130 +56,54 @@ def _row_tile(h: int, cap: int = 64) -> int:
     return 1
 
 
-def _block_kernel(x_hbm, taps_ref, bias_ref, wmat_ref, pwb_ref, out_hbm,
-                  xin, yout, zrow, sem_in, sem_out, sem_z,
-                  *, th, c, w, nh, ksize):
-    """One RefineBlock: folded dw5x5 -> ReLU -> 1x1, on a (TH, C, W) tile."""
-    b = pl.program_id(0)
-    i = pl.program_id(1)
-    row0 = i * th
-    halo = ksize - 1
-
-    cp_in = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(row0, th + halo)], xin, sem_in
-    )
-    cp_in.start()
-    cp_in.wait()
-
-    acc = jnp.zeros((th, c, w), jnp.float32)
-    for dy in range(ksize):
-        for dx in range(ksize):
-            tap = xin[dy : dy + th, :, dx : dx + w].astype(jnp.float32)
-            acc = acc + tap * taps_ref[dy * ksize + dx]
-    y = jnp.maximum(acc + bias_ref[:], 0.0)
-
-    # 1x1 conv: batched (C_out, C_in) @ (C_in, W) over the TH rows.
-    wm = jnp.broadcast_to(wmat_ref[:], (th, c, c))
-    out = jax.lax.dot_general(
-        wm, y,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )  # (TH, C, W)
-    out = out + pwb_ref[:]
-
-    yout[:] = jnp.zeros(yout.shape, yout.dtype)
-    yout[:, :, _PAD : _PAD + w] = out.astype(yout.dtype)
-    cp_out = pltpu.make_async_copy(
-        yout, out_hbm.at[b, pl.ds(_PAD + row0, th)], sem_out
-    )
-    cp_out.start()
-    cp_out.wait()
-
-    # Boundary programs also write the zero border rows of the output.
-    @pl.when(i == 0)
-    def _():
-        zrow[:] = jnp.zeros(zrow.shape, zrow.dtype)
-        cp = pltpu.make_async_copy(zrow, out_hbm.at[b, pl.ds(0, _PAD)], sem_z)
-        cp.start()
-        cp.wait()
-
-    @pl.when(i == nh - 1)
-    def _():
-        zrow[:] = jnp.zeros(zrow.shape, zrow.dtype)
-        cp = pltpu.make_async_copy(
-            zrow, out_hbm.at[b, pl.ds(_PAD + nh * th, _PAD)], sem_z
-        )
-        cp.start()
-        cp.wait()
+def _row_tile_for(h: int, cp: int, wp: int) -> int:
+    """Row tile sized so the f32 accumulator scratch fits _ACC_BUDGET."""
+    cap = max(int(_ACC_BUDGET // max(cp * wp * 4, 1)), 1)
+    return _row_tile(h, min(cap, 64))
 
 
-def fused_refine_block(
-    x: Array, taps: Array, bias: Array, wmat: Array, pwb: Array,
-    *, ksize: int = 5, interpret: bool = False,
-) -> Array:
-    """Apply one folded RefineBlock to a padded (B, H+4, C, W+4) activation.
+def _stack_kernel(taps_ref, bias_ref, wmat_ref, pwb_ref, x_ref, out_ref,
+                  bufa, bufb, acc, *, nb, th, h, c, w, ksize):
+    """All nb RefineBlocks on one image; x_ref/out_ref (1, H+4, Cp, Wp).
 
-    taps: (ksize^2, C, 1) f32 BN-folded depthwise taps.
-    bias: (C, 1) f32 folded bias; wmat: (C_out, C_in) f32 1x1 kernel (already
-    transposed); pwb: (C, 1) f32 1x1 bias. Output has the same padded layout
-    and dtype as x, zero borders included.
-    """
-    b, hp, c, wp = x.shape
-    h = hp - 2 * _PAD
-    w = wp - 2 * _PAD
-    th = _row_tile(h)
+    The block loop is a fori_loop with dynamically-indexed params (one
+    compiled block body — a static 9-block unroll took the remote Mosaic
+    compiler ~4 min per shape) reading bufa and writing bufb, then copying
+    bufb back into bufa (a VMEM-to-VMEM copy, negligible next to the tap
+    math)."""
     nh = h // th
-    kern = functools.partial(
-        _block_kernel, th=th, c=c, w=w, nh=nh, ksize=ksize
-    )
-    vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        kern,
-        grid=(b, nh),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            vspec(), vspec(), vspec(), vspec(),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((b, hp, c, wp), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((th + (ksize - 1), c, wp), x.dtype),
-            pltpu.VMEM((th, c, wp), x.dtype),
-            pltpu.VMEM((_PAD, c, wp), x.dtype),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        interpret=interpret,
-    )(x, taps, bias, wmat, pwb)
 
+    bufa[...] = x_ref[0]
 
-def fold_block_params(params: dict, batch_stats: dict, eps: float = 1e-5):
-    """Fold inference BN into the depthwise conv of one RefineBlock.
+    def block_body(blk, _):
+        bufb[...] = jnp.zeros(bufb.shape, bufb.dtype)
 
-    params/batch_stats: the flax subtrees of a RefineBlock ({dw, bn, pw} /
-    {bn}), possibly with a leading stacked-blocks axis (nn.scan layout).
-    Returns (taps, bias, wmat, pwb) with the layouts fused_refine_block wants
-    (plus the leading axis if present).
-    """
-    dw_k = jnp.asarray(params["dw"]["kernel"], jnp.float32)  # (..., k, k, 1, C)
-    dw_b = jnp.asarray(params["dw"]["bias"], jnp.float32)  # (..., C)
-    gamma = jnp.asarray(params["bn"]["scale"], jnp.float32)
-    beta = jnp.asarray(params["bn"]["bias"], jnp.float32)
-    mean = jnp.asarray(batch_stats["bn"]["mean"], jnp.float32)
-    var = jnp.asarray(batch_stats["bn"]["var"], jnp.float32)
-    pw_k = jnp.asarray(params["pw"]["kernel"], jnp.float32)  # (..., 1, 1, C, C)
+        def row_body(t, _2):
+            r0 = t * th
+            acc[...] = jnp.zeros(acc.shape, jnp.float32)
+            for dy in range(ksize):
+                for dx in range(ksize):
+                    tap = bufa[pl.ds(r0 + dy, th), :, dx : dx + w].astype(
+                        jnp.float32
+                    )
+                    acc[...] += tap * taps_ref[blk, dy * ksize + dx]
+            y = jnp.maximum(acc[...] + bias_ref[blk], 0.0)
+            wm = jnp.broadcast_to(wmat_ref[blk], (th, c, c))
+            out = jax.lax.dot_general(
+                wm, y,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+            )  # (TH, C, W)
+            out = out + pwb_ref[blk, :, :w]
+            bufb[pl.ds(_PAD + r0, th), :, _PAD : _PAD + w] = out.astype(bufb.dtype)
+            return 0
 
-    s = gamma * jax.lax.rsqrt(var + eps)  # (..., C)
-    k = dw_k.shape[-4]
-    lead = dw_k.shape[:-4]
-    taps = dw_k.reshape(lead + (k * k, dw_k.shape[-1]))
-    taps = (taps * s[..., None, :])[..., None]  # (..., k^2, C, 1)
-    bias = (((dw_b - mean) * s) + beta)[..., None]  # (..., C, 1)
-    wmat = jnp.swapaxes(pw_k[..., 0, 0, :, :], -1, -2)  # (..., C_out, C_in)
-    pwb = jnp.asarray(params["pw"]["bias"], jnp.float32)[..., None]
-    return taps, bias, wmat, pwb
+        jax.lax.fori_loop(0, nh, row_body, 0)
+        bufa[...] = bufb[...]
+        return 0
+
+    jax.lax.fori_loop(0, nb, block_body, 0)
+    out_ref[0] = bufa[...]
 
 
 def fused_refine_stack(
@@ -199,55 +126,176 @@ def fused_refine_stack(
     `model/network.py:556-563` semantics.
     """
     t1 = fold_block_params(refiner_params["block1"], refiner_stats["block1"], eps)
-    th = fold_block_params(
+    th_ = fold_block_params(
         refiner_params["hidden"]["block"], refiner_stats["hidden"]["block"], eps
     )
-    blocks = [tuple(x[j] for x in th) for j in range(hidden_blocks)]
-    blocks.insert(0, t1)
+    nb = hidden_blocks + 1
+    # stack block1 + hidden into (NB, ...) parameter arrays
+    taps = jnp.concatenate([t1[0][None], th_[0]], axis=0)
+    bias = jnp.concatenate([t1[1][None], th_[1]], axis=0)
+    wmat = jnp.concatenate([t1[2][None], th_[2]], axis=0)
+    pwb = jnp.concatenate([t1[3][None], th_[3]], axis=0)
 
-    # NHWC -> (B, H, C, W) with a 2-cell zero border carried between blocks.
+    b, h, w, c = d.shape
+    wp = -(-(w + 2 * _PAD) // 128) * 128
+    cp = -(-c // 8) * 8
+    hp = h + 2 * _PAD
+    e = cp - c
+    taps = jnp.pad(taps, ((0, 0), (0, 0), (0, e), (0, 0)))
+    bias = jnp.pad(bias, ((0, 0), (0, e), (0, 0)))
+    wmat = jnp.pad(wmat, ((0, 0), (0, e), (0, e)))
+    pwb = jnp.broadcast_to(jnp.pad(pwb, ((0, 0), (0, e), (0, 0))), (nb, cp, wp))
+
     x = jnp.transpose(d, (0, 1, 3, 2)).astype(store_dtype)
-    x = jnp.pad(x, ((0, 0), (_PAD, _PAD), (0, 0), (_PAD, _PAD)))
-    for taps, bias, wmat, pwb in blocks:
-        x = fused_refine_block(
-            x, taps, bias, wmat, pwb, ksize=ksize, interpret=interpret
-        )
+    x = jnp.pad(x, ((0, 0), (_PAD, _PAD), (0, cp - c), (_PAD, wp - w - _PAD)))
 
-    inner = x[:, _PAD:-_PAD, :, _PAD:-_PAD].astype(jnp.float32)
+    tile = _row_tile_for(h, cp, wp)
+    kern = functools.partial(
+        _stack_kernel, nb=nb, th=tile, h=h, c=cp, w=w, ksize=ksize
+    )
+    vspec = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    img = lambda: pl.BlockSpec((1, hp, cp, wp), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[vspec(), vspec(), vspec(), vspec(), img()],
+        out_specs=img(),
+        out_shape=jax.ShapeDtypeStruct((b, hp, cp, wp), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((hp, cp, wp), x.dtype),
+            pltpu.VMEM((hp, cp, wp), x.dtype),
+            pltpu.VMEM((tile, cp, w), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(taps, bias, wmat, pwb, x)
+
+    inner = out[:, _PAD:-_PAD, :c, _PAD : _PAD + w].astype(jnp.float32)
     ok = jnp.asarray(refiner_params["out_conv"]["kernel"], jnp.float32)[0, 0]
     ob = jnp.asarray(refiner_params["out_conv"]["bias"], jnp.float32)
-    out = jnp.einsum("bhcw,co->bhwo", inner, ok) + ob
-    return out[..., :2], out[..., 2:3]
+    res = jnp.einsum("bhcw,co->bhwo", inner, ok) + ob
+    return res[..., :2], res[..., 2:3]
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def _probe(x, ksize, interpret):
-    c = x.shape[2]
-    taps = jnp.zeros((ksize * ksize, c, 1), jnp.float32)
-    b1 = jnp.zeros((c, 1), jnp.float32)
-    wm = jnp.zeros((c, c), jnp.float32)
-    return fused_refine_block(x, taps, b1, wm, b1, ksize=ksize, interpret=interpret)
+def fold_block_params(params: dict, batch_stats: dict, eps: float = 1e-5):
+    """Fold inference BN into the depthwise conv of one RefineBlock.
+
+    params/batch_stats: the flax subtrees of a RefineBlock ({dw, bn, pw} /
+    {bn}), possibly with a leading stacked-blocks axis (nn.scan layout).
+    Returns (taps, bias, wmat, pwb) with the layouts _stack_kernel wants
+    (plus the leading axis if present).
+    """
+    dw_k = jnp.asarray(params["dw"]["kernel"], jnp.float32)  # (..., k, k, 1, C)
+    dw_b = jnp.asarray(params["dw"]["bias"], jnp.float32)  # (..., C)
+    gamma = jnp.asarray(params["bn"]["scale"], jnp.float32)
+    beta = jnp.asarray(params["bn"]["bias"], jnp.float32)
+    mean = jnp.asarray(batch_stats["bn"]["mean"], jnp.float32)
+    var = jnp.asarray(batch_stats["bn"]["var"], jnp.float32)
+    pw_k = jnp.asarray(params["pw"]["kernel"], jnp.float32)  # (..., 1, 1, C, C)
+
+    s = gamma * jax.lax.rsqrt(var + eps)  # (..., C)
+    k = dw_k.shape[-4]
+    lead = dw_k.shape[:-4]
+    taps = dw_k.reshape(lead + (k * k, dw_k.shape[-1]))
+    taps = (taps * s[..., None, :])[..., None]  # (..., k^2, C, 1)
+    bias = (((dw_b - mean) * s) + beta)[..., None]  # (..., C, 1)
+    wmat = jnp.swapaxes(pw_k[..., 0, 0, :, :], -1, -2)  # (..., C_out, C_in)
+    pwb = jnp.asarray(params["pw"]["bias"], jnp.float32)[..., None]
+    return taps, bias, wmat, pwb
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _probe(taps, bias, wmat, pwb, shape, ksize, interpret,
+           store_dtype=jnp.bfloat16):
+    b, h, w, c = shape
+    d = jnp.zeros((b, h, w, c), jnp.float32)
+    nb = taps.shape[0] - 1
+    params = {
+        "block1": _unfold_zeros(c, ksize),
+        "hidden": {"block": _unfold_zeros(c, ksize, lead=nb)},
+        "out_conv": {
+            "kernel": jnp.zeros((1, 1, c, 3), jnp.float32),
+            "bias": jnp.zeros((3,), jnp.float32),
+        },
+    }
+    stats = {
+        "block1": {"bn": _bn_zeros(c)},
+        "hidden": {"block": {"bn": _bn_zeros(c, lead=nb)}},
+    }
+    return fused_refine_stack(
+        d, params, stats, hidden_blocks=nb, ksize=ksize,
+        store_dtype=store_dtype, interpret=interpret,
+    )
+
+
+def _unfold_zeros(c, ksize, lead=None):
+    sh = lambda *dims: ((lead,) + dims) if lead else dims
+    return {
+        "dw": {
+            "kernel": jnp.zeros(sh(ksize, ksize, 1, c), jnp.float32),
+            "bias": jnp.zeros(sh(c), jnp.float32),
+        },
+        "bn": {
+            "scale": jnp.ones(sh(c), jnp.float32),
+            "bias": jnp.zeros(sh(c), jnp.float32),
+        },
+        "pw": {
+            "kernel": jnp.zeros(sh(1, 1, c, c), jnp.float32),
+            "bias": jnp.zeros(sh(c), jnp.float32),
+        },
+    }
+
+
+def _bn_zeros(c, lead=None):
+    sh = (lead, c) if lead else (c,)
+    return {
+        "mean": jnp.zeros(sh, jnp.float32),
+        "var": jnp.ones(sh, jnp.float32),
+    }
 
 
 _PROBE_CACHE: dict = {}
 
 
 def fused_stack_supported(
-    shape: tuple, store_dtype=jnp.bfloat16, ksize: int = 5
+    shape: tuple, store_dtype=jnp.bfloat16, ksize: int = 5, hidden_blocks: int = 8
 ) -> bool:
-    """Per-shape dispatch gate: compile the standalone block kernel once
-    (cached); VMEM-overflow or unsupported-lowering shapes fall back to the
-    unfused flax path instead of failing the caller's jit compile."""
+    """Per-shape dispatch gate.
+
+    Static profitability rule first (v5e A/B, scripts/profile_refine_v2.py):
+    the kernel wins where XLA's 128-lane channel padding wastes the most —
+    small C at a large grid (C=24 @ 320^2: 9.1 -> 2.8 ms; C=73 @ 160^2 is
+    break-even, C>=177 grids are tiny and not worth the compile). Shapes
+    passing the rule are then probe-compiled once (cached) so an unsupported
+    lowering falls back to flax instead of failing the caller's jit.
+    """
     b, h, w, c = shape
-    key = (b, h, w, c, jnp.dtype(store_dtype).name, ksize)
+    if c > 32 or h * w < 128 * 128:
+        return False
+    wp = -(-(w + 2 * _PAD) // 128) * 128
+    cp = -(-c // 8) * 8
+    hp = h + 2 * _PAD
+    itemsize = jnp.dtype(store_dtype).itemsize
+    # 2 ping-pong buffers + pipelined in/out blocks (2x each) + acc scratch
+    vmem = 6 * hp * cp * wp * itemsize + _ACC_BUDGET
+    if vmem > 88 * 1024 * 1024:
+        return False
+    key = (b, h, w, c, jnp.dtype(store_dtype).name, ksize, hidden_blocks)
     hit = _PROBE_CACHE.get(key)
     if hit is not None:
         return hit
-    x = jax.ShapeDtypeStruct(
-        (b, h + 2 * _PAD, c, w + 2 * _PAD), jnp.dtype(store_dtype)
-    )
+    nb = hidden_blocks + 1
+    taps = jax.ShapeDtypeStruct((nb, ksize * ksize, c, 1), jnp.float32)
+    bias = jax.ShapeDtypeStruct((nb, c, 1), jnp.float32)
+    wm = jax.ShapeDtypeStruct((nb, c, c), jnp.float32)
     try:
-        _probe.lower(x, ksize, False).compile()
+        _probe.lower(
+            taps, bias, wm, bias, (b, h, w, c), ksize, False,
+            jnp.dtype(store_dtype),
+        ).compile()
         ok = True
     except Exception:
         ok = False
