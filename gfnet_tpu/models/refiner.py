@@ -129,20 +129,24 @@ class ConvRefiner(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     def _use_fused_stack(self, d_shape, train: bool) -> bool:
-        """Dispatch the fused Pallas block stack (inference, TPU, fitting
-        shapes). GFNET_FUSED_REFINER: "1" skips the probe gate, "0" hard-off,
-        unset = auto (probe-compile per shape, cached)."""
+        """Dispatch gate for the fused Pallas block stack
+        (ops/pallas/refine_stack.py). OFF unless GFNET_FUSED_REFINER=1:
+        the kernel beats the flax chain standalone (2.6 vs 9.1 ms at
+        (2,320,320,24) on v5e) but LOSES ~5 ms inside the full pass — XLA
+        fuses the concat front-end directly into block1's shift-accumulate,
+        and the pallas_call boundary forces materializing + relaying the
+        concat instead (A/B: scripts/profile_refine_v2.py + the pass2
+        same-process A/B, 2026-08-19: 54.7 ms unfused vs 59.4 ms fused).
+        Kept behind the flag as a capability for standalone/serving uses of
+        the stack and for future compilers where the trade may flip."""
         if train:
             return False
-        force = os.environ.get("GFNET_FUSED_REFINER")
-        if force == "0":
+        if os.environ.get("GFNET_FUSED_REFINER") != "1":
             return False
         if jax.default_backend() not in ("tpu", "axon"):
             return False
         if self.is_initializing():
             return False
-        if force == "1":
-            return True
         from gfnet_tpu.ops.pallas.refine_stack import fused_stack_supported
 
         return fused_stack_supported(
@@ -202,7 +206,7 @@ class ConvRefiner(nn.Module):
 
             v = self.variables
             return fused_refine_stack(
-                d.astype(jnp.float32),
+                d,  # already in the compute dtype; the kernel casts/pads
                 v["params"],
                 v["batch_stats"],
                 hidden_blocks=self.hidden_blocks,

@@ -62,8 +62,8 @@ def _row_tile_for(h: int, cp: int, wp: int) -> int:
     return _row_tile(h, min(cap, 64))
 
 
-def _stack_kernel(taps_ref, bias_ref, wmat_ref, pwb_ref, x_ref, out_ref,
-                  bufa, bufb, acc, *, nb, th, h, c, w, ksize):
+def _stack_kernel(taps_ref, bias_ref, wmat_ref, pwb_ref, ok_ref, ob_ref,
+                  x_ref, out_ref, bufa, bufb, acc, *, nb, th, h, c, w, ksize):
     """All nb RefineBlocks on one image; x_ref/out_ref (1, H+4, Cp, Wp).
 
     The block loop is a fori_loop with dynamically-indexed params (one
@@ -103,7 +103,26 @@ def _stack_kernel(taps_ref, bias_ref, wmat_ref, pwb_ref, x_ref, out_ref,
         return 0
 
     jax.lax.fori_loop(0, nb, block_body, 0)
-    out_ref[0] = bufa[...]
+
+    # Final 1x1 out_conv (3 channels padded to 8 sublanes) in-kernel: the
+    # host-side einsum over the 24-channel f32 activation plus its layout
+    # change measured ~2 ms/pass at 320^2 — here it's one more row loop.
+    o8 = ok_ref.shape[0]
+
+    def out_body(t, _):
+        r0 = t * th
+        y = bufa[pl.ds(_PAD + r0, th), :, _PAD : _PAD + w].astype(jnp.float32)
+        wm = jnp.broadcast_to(ok_ref[...], (th, o8, c))
+        o = jax.lax.dot_general(
+            wm, y,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (TH, 8, W)
+        o = o + ob_ref[:, :w]
+        out_ref[0, pl.ds(r0, th), :, :w] = o
+        return 0
+
+    jax.lax.fori_loop(0, h // th, out_body, 0)
 
 
 def fused_refine_stack(
@@ -146,7 +165,17 @@ def fused_refine_stack(
     wmat = jnp.pad(wmat, ((0, 0), (0, e), (0, e)))
     pwb = jnp.broadcast_to(jnp.pad(pwb, ((0, 0), (0, e), (0, 0))), (nb, cp, wp))
 
-    x = jnp.transpose(d, (0, 1, 3, 2)).astype(store_dtype)
+    # out_conv (3 -> pad 8 sublanes), applied in-kernel after the stack
+    ok = jnp.asarray(refiner_params["out_conv"]["kernel"], jnp.float32)[0, 0]
+    ob = jnp.asarray(refiner_params["out_conv"]["bias"], jnp.float32)
+    ok8 = jnp.pad(jnp.swapaxes(ok, 0, 1), ((0, 8 - ok.shape[1]), (0, e)))
+    ob8 = jnp.broadcast_to(
+        jnp.pad(ob, (0, 8 - ob.shape[0]))[:, None], (8, wp)
+    )
+
+    # cast to the store dtype BEFORE the (W, C) -> (C, W) relayout: the
+    # f32 transpose of the materialized concat measured ~1 ms/pass at 320^2
+    x = jnp.transpose(d.astype(store_dtype), (0, 1, 3, 2))
     x = jnp.pad(x, ((0, 0), (_PAD, _PAD), (0, cp - c), (_PAD, wp - w - _PAD)))
 
     tile = _row_tile_for(h, cp, wp)
@@ -159,9 +188,10 @@ def fused_refine_stack(
     out = pl.pallas_call(
         kern,
         grid=(b,),
-        in_specs=[vspec(), vspec(), vspec(), vspec(), img()],
-        out_specs=img(),
-        out_shape=jax.ShapeDtypeStruct((b, hp, cp, wp), x.dtype),
+        in_specs=[vspec(), vspec(), vspec(), vspec(), vspec(), vspec(), img()],
+        out_specs=pl.BlockSpec((1, h, 8, wp), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, 8, wp), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((hp, cp, wp), x.dtype),
             pltpu.VMEM((hp, cp, wp), x.dtype),
@@ -171,12 +201,9 @@ def fused_refine_stack(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
-    )(taps, bias, wmat, pwb, x)
+    )(taps, bias, wmat, pwb, ok8, ob8, x)
 
-    inner = out[:, _PAD:-_PAD, :c, _PAD : _PAD + w].astype(jnp.float32)
-    ok = jnp.asarray(refiner_params["out_conv"]["kernel"], jnp.float32)[0, 0]
-    ob = jnp.asarray(refiner_params["out_conv"]["bias"], jnp.float32)
-    res = jnp.einsum("bhcw,co->bhwo", inner, ok) + ob
+    res = jnp.transpose(out[:, :, :3, :w], (0, 1, 3, 2))  # (B, H, W, 3) f32
     return res[..., :2], res[..., 2:3]
 
 
