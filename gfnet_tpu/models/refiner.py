@@ -184,13 +184,17 @@ class ConvRefiner(nn.Module):
             # but not through the warped target windows.
             # Inference stores the Pallas operands in the model compute dtype
             # (bf16 flagship): lossless — the features were produced in bf16 —
-            # and it halves the kernel's VMEM/HBM footprint. Training keeps
-            # f32 operands (unchanged backward numerics).
+            # and it halves the kernel's VMEM/HBM footprint. Training pins the
+            # XLA patch-gather impl: its backward is plain XLA (the Pallas
+            # custom-VJP kernel's batched dot fails to lower under AD on
+            # libtpu 2026-08, and the compile probe only covers the forward),
+            # and f32 operands keep backward numerics unchanged.
             corr = local_correlation(
                 grid_feature.astype(jnp.float32),
                 jax.lax.stop_gradient(target_feat.astype(jnp.float32)),
                 jax.lax.stop_gradient(flow),
                 self.radius,
+                impl="patch" if train else "auto",
                 compute_dtype=None if train else dt,
             )
             feats.append(corr.astype(dt))
