@@ -127,10 +127,25 @@ class GFNet(nn.Module):
         b, h0, w0, _ = im_A.shape
         x = jnp.concatenate([im_A, im_B], axis=0)
         gh, gw = h0 // cfg.dino.patch_size, w0 // cfg.dino.patch_size
-        features0, features1 = self.extract_features(
-            x, vit_tokens, (gh, gw), upsample=upsample, train=train
-        )
-        scales = list(features0.keys())
+        if train:
+            # Rematerialize the whole feature extraction for backward: the
+            # FPN runs at full resolution with 8-16 channel f32/bf16 maps
+            # that XLA lane-pads up to 16x — saving every conv input for the
+            # backward pass OOMs a 16 GB chip at flagship shapes. Recompute
+            # costs one extra extractor forward; only the 5-level pyramid
+            # (needed downstream anyway) is kept live.
+            features0, features1 = nn.remat(
+                lambda mod, xx, tt: mod.extract_features(
+                    xx, tt, (gh, gw), upsample=upsample, train=True
+                )
+            )(self, x, vit_tokens)
+        else:
+            features0, features1 = self.extract_features(
+                x, vit_tokens, (gh, gw), upsample=upsample, train=train
+            )
+        # canonical coarse->fine order — dict order is NOT stable here
+        # (nn.remat round-trips returns through pytrees, which sort keys)
+        scales = [s for s in SCALES if s in features0]
         if symmetric:
             features0, features1 = (
                 {s: jnp.concatenate([features0[s], features1[s]], 0) for s in scales},
@@ -162,9 +177,20 @@ class GFNet(nn.Module):
             corresps[scale] = {}
             displacement_pre = jnp.zeros_like(flow) + 1e-7
             for itr in range(num_itr[idx]):
-                delta_flow, delta_cert = self.refiners[scale](
-                    f0, f1, flow, scale_factor=scale_factor, train=train
-                )
+                if train:
+                    # Per-scale remat: drop each refiner's internals (local-
+                    # correlation patch gathers, block activations) from the
+                    # saved residuals; backward recomputes one refiner at a
+                    # time, bounding peak HBM by a single scale.
+                    delta_flow, delta_cert = nn.remat(
+                        lambda mod, a, b_, fl: mod(
+                            a, b_, fl, scale_factor=scale_factor, train=True
+                        )
+                    )(self.refiners[scale], f0, f1, flow)
+                else:
+                    delta_flow, delta_cert = self.refiners[scale](
+                        f0, f1, flow, scale_factor=scale_factor, train=train
+                    )
                 displacement = float(int(scale)) * jnp.stack(
                     [delta_flow[..., 0] / (4 * w0), delta_flow[..., 1] / (4 * h0)],
                     axis=-1,

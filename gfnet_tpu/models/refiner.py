@@ -219,8 +219,14 @@ class ConvRefiner(nn.Module):
             )
 
         d = RefineBlock(self.hidden_dim, self.kernel_size, dtype=dt, name="block1")(d, train)
+        # Training remats each hidden block: the scan otherwise stacks all 8
+        # residual activations for backward, and XLA's (8,128)-tiled layout
+        # pads the small channel counts up to 5.3x — at the flagship train
+        # shapes that alone is tens of GB of HLO temps (single-chip HBM OOM).
+        # Recomputing a depthwise block is far cheaper than spilling it.
+        body = nn.remat(_HiddenScanBody) if train else _HiddenScanBody
         Scanned = nn.scan(
-            _HiddenScanBody,
+            body,
             variable_axes={"params": 0, "batch_stats": 0},
             split_rngs={"params": True},
             length=self.hidden_blocks,
