@@ -27,8 +27,8 @@ from gfnet_tpu.config import DecoderConfig
 from gfnet_tpu.models.common import LayerScale
 from gfnet_tpu.ops.attention import (
     entropy_invariant_scale,
+    fused_attention,
     linear_attention,
-    scaled_dot_product_attention,
 )
 
 Array = jax.Array
@@ -77,7 +77,10 @@ class CrossAttention(nn.Module):
             out = linear_attention(q, k, v).reshape(b, n, c)
         else:
             scale = entropy_invariant_scale(hd, n, self.train_avg_length)
-            out = scaled_dot_product_attention(q, k, v, scale=scale).reshape(b, n, c)
+            # fused_attention (one-shot Pallas kernel on TPU) keeps the
+            # (B, H, N, N) logits in VMEM — the einsum SDPA's f32 logit
+            # round-trip is ~330 MB of HBM traffic per 1600-token pass
+            out = fused_attention(q, k, v, scale=scale).reshape(b, n, c)
         return nn.Dense(self.dim, use_bias=True, dtype=self.dtype, name="proj")(out)
 
 

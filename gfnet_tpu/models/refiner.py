@@ -128,30 +128,39 @@ class ConvRefiner(nn.Module):
     kernel_size: int = 5
     dtype: jnp.dtype = jnp.bfloat16
 
-    def _use_fused_stack(self, d_shape, train: bool) -> bool:
-        """Dispatch gate for the fused Pallas block stack
-        (ops/pallas/refine_stack.py). OFF unless GFNET_FUSED_REFINER=1:
-        the kernel beats the flax chain standalone (2.6 vs 9.1 ms at
-        (2,320,320,24) on v5e) but LOSES ~5 ms inside the full pass — XLA
+    def _fused_mode(self, d_shape, train: bool) -> str:
+        """Dispatch mode for the fused Pallas block stack
+        (ops/pallas/refine_stack.py): "hidden" | "full" | "off".
+
+        Default is OFF (override with GFNET_REFINE_STACK=hidden|full): the
+        kernel beats the flax chain standalone (2.6 vs 9.1 ms at
+        (2,320,320,24) on v5e) but does NOT win inside the full pass — XLA
         fuses the concat front-end directly into block1's shift-accumulate,
-        and the pallas_call boundary forces materializing + relaying the
-        concat instead (A/B: scripts/profile_refine_v2.py + the pass2
-        same-process A/B, 2026-08-19: 54.7 ms unfused vs 59.4 ms fused).
-        Kept behind the flag as a capability for standalone/serving uses of
-        the stack and for future compilers where the trade may flip."""
+        and even the hidden-only variant (block1 left to XLA) pays more in
+        boundary relayout than it saves (interleaved A/B
+        scripts/ab_round3.py, 2026-08-20: pass1 32.9 ms off vs 34.9 ms
+        hidden; pass2 52.4 vs 52.8). Kept as a capability for standalone /
+        serving uses of the stack and future compilers where the trade may
+        flip. Training always uses the flax path (batch-stat reductions +
+        XLA backward)."""
         if train:
-            return False
-        if os.environ.get("GFNET_FUSED_REFINER") != "1":
-            return False
+            return "off"
+        mode = os.environ.get("GFNET_REFINE_STACK", "off")
+        if os.environ.get("GFNET_FUSED_REFINER") == "1":  # legacy flag
+            mode = "full"
+        if mode not in ("hidden", "full"):
+            return "off"
         if jax.default_backend() not in ("tpu", "axon"):
-            return False
+            return "off"
         if self.is_initializing():
-            return False
+            return "off"
         from gfnet_tpu.ops.pallas.refine_stack import fused_stack_supported
 
-        return fused_stack_supported(
-            tuple(d_shape), store_dtype=self.dtype, ksize=self.kernel_size
+        ok = fused_stack_supported(
+            tuple(d_shape), store_dtype=self.dtype, ksize=self.kernel_size,
+            include_block1=(mode == "full"),
         )
+        return mode if ok else "off"
 
     @nn.compact
     def __call__(
@@ -201,11 +210,10 @@ class ConvRefiner(nn.Module):
         d = jnp.concatenate(feats, axis=-1)
         assert d.shape[-1] == self.hidden_dim, (d.shape, self.hidden_dim)
 
-        if self._use_fused_stack(d.shape, train):
-            # Inference-only fused Pallas path: the whole block1 + hidden
-            # stack + out_conv runs as channels-in-sublane kernels with BN
-            # folded (see ops/pallas/refine_stack.py). Training keeps the
-            # flax path (batch-stat reductions + XLA backward).
+        mode = self._fused_mode(d.shape, train)
+        if mode == "full":
+            # Whole block1 + hidden stack + out_conv as channels-in-sublane
+            # Pallas kernels with BN folded (see ops/pallas/refine_stack.py).
             from gfnet_tpu.ops.pallas.refine_stack import fused_refine_stack
 
             v = self.variables
@@ -219,6 +227,21 @@ class ConvRefiner(nn.Module):
             )
 
         d = RefineBlock(self.hidden_dim, self.kernel_size, dtype=dt, name="block1")(d, train)
+        if mode == "hidden":
+            # block1 in XLA (keeps the concat fused into its dw taps), the
+            # 8 hidden blocks + out_conv as one VMEM-resident Pallas kernel.
+            from gfnet_tpu.ops.pallas.refine_stack import fused_refine_stack
+
+            v = self.variables
+            return fused_refine_stack(
+                d,
+                v["params"],
+                v["batch_stats"],
+                hidden_blocks=self.hidden_blocks,
+                ksize=self.kernel_size,
+                store_dtype=dt,
+                include_block1=False,
+            )
         # Training remats each hidden block: the scan otherwise stacks all 8
         # residual activations for backward, and XLA's (8,128)-tiled layout
         # pads the small channel counts up to 5.3x — at the flagship train

@@ -13,11 +13,17 @@ scale = head_dim^-0.5 * log(N) / log(train_avg_length)
 from __future__ import annotations
 
 import math
+import os
+from functools import partial
 
 import jax
 import jax.numpy as jnp
 
 Array = jax.Array
+
+# Longest kv length the one-shot kernel handles comfortably: the per-program
+# f32 logits block is block_q x nkp <= 512 * 4096 * 4 B = 8 MB of VMEM.
+_ONESHOT_MAX_KV = 4096
 
 
 def entropy_invariant_scale(
@@ -45,19 +51,32 @@ def scaled_dot_product_attention(
 def fused_attention(
     q: Array, k: Array, v: Array, scale: float | None = None
 ) -> Array:
-    """Flash attention on TPU (Pallas kernel, no N x N logit materialization),
+    """Fused attention on TPU (no N x N logit round-trip through HBM),
     einsum fallback elsewhere.
 
-    q, k, v: (B, N, H, D). The ViT's N = grid^2+1 is not lane-aligned, so
-    sequences are padded to a multiple of 512 with segment-id masking (padded
-    keys are in a different segment than real queries). Numerically this is
-    the same f32-accumulator softmax as the reference's flash-attn
-    (`attention.py:141-170`), unlike a bf16-materialized-logits shortcut.
+    q, k, v: (B, N, H, D). Two TPU kernels, picked by kv length
+    (override with GFNET_ATTN_IMPL=oneshot|flash):
+
+      - one-shot (ops/pallas/oneshot_attention.py) for the short image-token
+        sequences this engine actually sees (~1k-1.6k): whole attention rows
+        in VMEM, no streaming-softmax machinery — measured ~1.45x faster than
+        the flash kernel at N=1025/1601 on v5e (scripts/profile_oneshot.py);
+      - the jax flash kernel for anything longer: sequences are padded to a
+        multiple of 512 with segment-id masking (padded keys are in a
+        different segment than real queries).
+
+    Numerically both are the same f32-accumulator softmax as the reference's
+    flash-attn (`attention.py:141-170`), unlike a bf16-materialized-logits
+    shortcut.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
     if jax.default_backend() not in ("tpu", "axon"):
         return scaled_dot_product_attention(q, k, v, scale)
+
+    impl = os.environ.get("GFNET_ATTN_IMPL", "auto")
+    if impl == "oneshot" or (impl == "auto" and k.shape[1] <= _ONESHOT_MAX_KV):
+        return _oneshot_sdpa_grad(q, k, v, float(scale))
 
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes,
@@ -95,6 +114,34 @@ def fused_attention(
         sm_scale=float(scale), block_sizes=bs,
     )
     return jnp.moveaxis(out, 1, 2)[:, :n]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _oneshot_sdpa_grad(q: Array, k: Array, v: Array, scale: float) -> Array:
+    """One-shot Pallas forward with an XLA (einsum-SDPA) backward.
+
+    The one-shot kernel has no Pallas VJP; the trained modules that call it
+    (cross-view decoder) differentiate through the mathematically identical
+    einsum formulation instead — recomputed in backward, so nothing extra is
+    saved from the forward (same residuals as plain SDPA-with-remat)."""
+    from gfnet_tpu.ops.pallas.oneshot_attention import oneshot_attention
+
+    return oneshot_attention(q, k, v, scale=scale)
+
+
+def _oneshot_fwd(q, k, v, scale):
+    return _oneshot_sdpa_grad(q, k, v, scale), (q, k, v)
+
+
+def _oneshot_bwd(scale, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: scaled_dot_product_attention(q_, k_, v_, scale), q, k, v
+    )
+    return vjp(g)
+
+
+_oneshot_sdpa_grad.defvjp(_oneshot_fwd, _oneshot_bwd)
 
 
 def linear_attention(q: Array, k: Array, v: Array, eps: float = 1e-6) -> Array:

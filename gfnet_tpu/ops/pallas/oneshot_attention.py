@@ -59,17 +59,25 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale, nk, nkp, tq):
 
 def oneshot_attention(
     q: Array, k: Array, v: Array, scale: float | None = None,
-    block_q: int = 512, interpret: bool = False,
+    block_q: int | None = None, interpret: bool = False,
 ) -> Array:
     """q, k, v: (B, N, H, D) -> (B, N, H, D). Non-causal, full attention.
 
     kv may be shorter/longer than q. D should be lane-friendly (64/128).
+
+    block_q=None picks the whole q row per program when the f32 logits block
+    fits comfortably in VMEM, else 512. One program per (batch, head) beats
+    q-tiling at every ViT shape (v5e sweep scripts/profile_oneshot.py,
+    2026-08-20: 0.263 vs 0.355 ms/block at N=1025, 0.453 vs 0.586 at
+    N=1601) — fewer grid steps and one K/V fetch per row.
     """
     b, n, h, d = q.shape
     nk = k.shape[1]
     if scale is None:
         scale = d**-0.5
     nkp = -(-nk // 128) * 128
+    if block_q is None:
+        block_q = n if n * nkp * 4 <= 24 * 1024 * 1024 else 512
     kp = jnp.pad(k, ((0, 0), (0, nkp - nk), (0, 0), (0, 0)))
     vp = jnp.pad(v, ((0, 0), (0, nkp - nk), (0, 0), (0, 0)))
 

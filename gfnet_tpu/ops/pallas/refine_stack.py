@@ -134,26 +134,39 @@ def fused_refine_stack(
     ksize: int = 5,
     store_dtype: jnp.dtype = jnp.bfloat16,
     eps: float = 1e-5,
+    include_block1: bool = True,
     interpret: bool = False,
 ) -> tuple[Array, Array]:
-    """Run block1 + the scanned hidden blocks + out_conv, fused.
+    """Run [block1 +] the scanned hidden blocks + out_conv, fused.
 
-    d: (B, H, W, C) NHWC concat features (refiner input after disp_emb /
-    local-corr concat). refiner_params/refiner_stats: the ConvRefiner
-    subtrees ({block1, hidden, out_conv} / {block1, hidden}).
+    d: (B, H, W, C) NHWC input — the refiner concat (disp_emb / local-corr /
+    features) when include_block1, else block1's output. refiner_params /
+    refiner_stats: the ConvRefiner subtrees ({block1, hidden, out_conv} /
+    {block1, hidden}).
+
+    include_block1=False is the in-context sweet spot: XLA fuses the concat
+    front-end directly into block1's shift-accumulate (the reason the
+    full-fused kernel lost end-to-end, see ConvRefiner._fused_mode), while
+    the remaining 8 hidden blocks + out_conv still skip 8 HBM round-trips of
+    lane-padded activations.
+
     Returns (delta_flow (B,H,W,2), delta_cert (B,H,W,1)) in f32, matching
     `model/network.py:556-563` semantics.
     """
-    t1 = fold_block_params(refiner_params["block1"], refiner_stats["block1"], eps)
     th_ = fold_block_params(
         refiner_params["hidden"]["block"], refiner_stats["hidden"]["block"], eps
     )
-    nb = hidden_blocks + 1
-    # stack block1 + hidden into (NB, ...) parameter arrays
-    taps = jnp.concatenate([t1[0][None], th_[0]], axis=0)
-    bias = jnp.concatenate([t1[1][None], th_[1]], axis=0)
-    wmat = jnp.concatenate([t1[2][None], th_[2]], axis=0)
-    pwb = jnp.concatenate([t1[3][None], th_[3]], axis=0)
+    if include_block1:
+        t1 = fold_block_params(refiner_params["block1"], refiner_stats["block1"], eps)
+        nb = hidden_blocks + 1
+        # stack block1 + hidden into (NB, ...) parameter arrays
+        taps = jnp.concatenate([t1[0][None], th_[0]], axis=0)
+        bias = jnp.concatenate([t1[1][None], th_[1]], axis=0)
+        wmat = jnp.concatenate([t1[2][None], th_[2]], axis=0)
+        pwb = jnp.concatenate([t1[3][None], th_[3]], axis=0)
+    else:
+        nb = hidden_blocks
+        taps, bias, wmat, pwb = th_
 
     b, h, w, c = d.shape
     wp = -(-(w + 2 * _PAD) // 128) * 128
@@ -234,12 +247,12 @@ def fold_block_params(params: dict, batch_stats: dict, eps: float = 1e-5):
     return taps, bias, wmat, pwb
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7))
+@functools.partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
 def _probe(taps, bias, wmat, pwb, shape, ksize, interpret,
-           store_dtype=jnp.bfloat16):
+           store_dtype=jnp.bfloat16, include_block1=True):
     b, h, w, c = shape
     d = jnp.zeros((b, h, w, c), jnp.float32)
-    nb = taps.shape[0] - 1
+    nb = taps.shape[0] - (1 if include_block1 else 0)
     params = {
         "block1": _unfold_zeros(c, ksize),
         "hidden": {"block": _unfold_zeros(c, ksize, lead=nb)},
@@ -254,7 +267,8 @@ def _probe(taps, bias, wmat, pwb, shape, ksize, interpret,
     }
     return fused_refine_stack(
         d, params, stats, hidden_blocks=nb, ksize=ksize,
-        store_dtype=store_dtype, interpret=interpret,
+        store_dtype=store_dtype, include_block1=include_block1,
+        interpret=interpret,
     )
 
 
@@ -288,19 +302,24 @@ _PROBE_CACHE: dict = {}
 
 
 def fused_stack_supported(
-    shape: tuple, store_dtype=jnp.bfloat16, ksize: int = 5, hidden_blocks: int = 8
+    shape: tuple, store_dtype=jnp.bfloat16, ksize: int = 5,
+    hidden_blocks: int = 8, include_block1: bool = True,
 ) -> bool:
     """Per-shape dispatch gate.
 
-    Static profitability rule first (v5e A/B, scripts/profile_refine_v2.py):
-    the kernel wins where XLA's 128-lane channel padding wastes the most —
-    small C at a large grid (C=24 @ 320^2: 9.1 -> 2.8 ms; C=73 @ 160^2 is
-    break-even, C>=177 grids are tiny and not worth the compile). Shapes
-    passing the rule are then probe-compiled once (cached) so an unsupported
-    lowering falls back to flax instead of failing the caller's jit.
+    Static profitability rule first (v5e A/Bs, scripts/profile_refine_v2.py +
+    the in-context pass A/Bs behind GFNET_REFINE_STACK): the kernel wins
+    where XLA's 128-lane channel padding wastes the most — small C at a
+    large grid (C=24 @ 320^2: 9.1 -> 2.8 ms standalone; C=73 @ 160^2
+    break-even full-fused but profitable hidden-only where the concat
+    boundary cost is gone; C>=177 grids are tiny and not worth the compile).
+    Shapes passing the rule are then probe-compiled once (cached) so an
+    unsupported lowering falls back to flax instead of failing the caller's
+    jit.
     """
     b, h, w, c = shape
-    if c > 32 or h * w < 128 * 128:
+    c_cap = 80 if not include_block1 else 32
+    if c > c_cap or h * w < 128 * 128:
         return False
     wp = -(-(w + 2 * _PAD) // 128) * 128
     cp = -(-c // 8) * 8
@@ -310,18 +329,19 @@ def fused_stack_supported(
     vmem = 6 * hp * cp * wp * itemsize + _ACC_BUDGET
     if vmem > 88 * 1024 * 1024:
         return False
-    key = (b, h, w, c, jnp.dtype(store_dtype).name, ksize, hidden_blocks)
+    key = (b, h, w, c, jnp.dtype(store_dtype).name, ksize, hidden_blocks,
+           include_block1)
     hit = _PROBE_CACHE.get(key)
     if hit is not None:
         return hit
-    nb = hidden_blocks + 1
+    nb = hidden_blocks + (1 if include_block1 else 0)
     taps = jax.ShapeDtypeStruct((nb, ksize * ksize, c, 1), jnp.float32)
     bias = jax.ShapeDtypeStruct((nb, c, 1), jnp.float32)
     wm = jax.ShapeDtypeStruct((nb, c, c), jnp.float32)
     try:
         _probe.lower(
             taps, bias, wm, bias, (b, h, w, c), ksize, False,
-            jnp.dtype(store_dtype),
+            jnp.dtype(store_dtype), include_block1,
         ).compile()
         ok = True
     except Exception:

@@ -53,11 +53,22 @@ def main():
         ref = scaled_dot_product_attention(
             q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)
         )
+        def flash(q, k, v):
+            import os
+
+            os.environ["GFNET_ATTN_IMPL"] = "flash"
+            try:
+                return fused_attention(q, k, v)
+            finally:
+                os.environ.pop("GFNET_ATTN_IMPL", None)
+
         cands = {
-            "flash_pad512_blk512": fused_attention,
-            "oneshot_q512": functools.partial(oneshot_attention, block_q=512),
+            "flash_pad512_blk512": flash,
             "oneshot_q256": functools.partial(oneshot_attention, block_q=256),
+            "oneshot_q512": functools.partial(oneshot_attention, block_q=512),
+            "oneshot_q832": functools.partial(oneshot_attention, block_q=832),
             "oneshot_q1088": functools.partial(oneshot_attention, block_q=1088),
+            "oneshot_q1664": functools.partial(oneshot_attention, block_q=1664),
         }
         print(f"N={N} (ms per call, from x24-scan):", flush=True)
         for name, fn in cands.items():

@@ -91,7 +91,31 @@ def test_fused_stack_bf16_close_to_f32():
     assert float(jnp.max(jnp.abs(got_c - want_c))) < 0.05 * cscale + 1e-3
 
 
+def test_fused_stack_hidden_only_matches_flax():
+    """include_block1=False: input is block1's output; the kernel runs only
+    the hidden blocks + out_conv (the in-context default dispatch)."""
+    c, blocks = 12, 2
+    m, v = _make_vars(c, blocks, seed=4)
+    rng = np.random.default_rng(5)
+    d = jnp.asarray(rng.normal(0, 1, (2, 16, 24, c)).astype(np.float32))
+    want_f, want_c = m.apply(v, d, train=False)
+    # run block1 via flax, then the fused hidden tail
+    b1 = RefineBlock(c, 5, dtype=jnp.float32)
+    d1 = b1.apply(
+        {"params": v["params"]["block1"], "batch_stats": v["batch_stats"]["block1"]},
+        d, False,
+    )
+    got_f, got_c = fused_refine_stack(
+        d1, v["params"], v["batch_stats"], hidden_blocks=blocks,
+        store_dtype=jnp.float32, include_block1=False, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got_f), np.asarray(want_f),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_refiner_dispatch_off_on_cpu():
     r = ConvRefiner(hidden_dim=16, displacement_dim=8, radius=0)
-    assert not r._use_fused_stack((1, 16, 16, 16), train=False)
-    assert not r._use_fused_stack((1, 16, 16, 16), train=True)
+    assert r._fused_mode((1, 16, 16, 16), train=False) == "off"
+    assert r._fused_mode((1, 16, 16, 16), train=True) == "off"
