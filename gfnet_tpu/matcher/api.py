@@ -407,12 +407,13 @@ class GFNetMatcher:
         hA, wA = np.asarray(im_A_raw).shape[-3:-1]
         hB, wB = np.asarray(im_B_raw).shape[-3:-1]
         warp, certainty = self.match(im_A_raw, im_B_raw)
-        k1, k2 = jax.random.split(key)
-        matches, _ = self.sample(warp, certainty, num_matches, k1)
-        pos_a = denormalize_corner_aligned(matches[:, :2], hA, wA)
-        pos_b = denormalize_corner_aligned(matches[:, 2:], hB, wB)
-        H, _ = ransac_homography(pos_a, pos_b, key=k2)
-        return H
+        # one dispatch for sample + denormalize + robust solve (B=1 of the
+        # batched path) instead of separate sample / solve round-trips
+        H = self._sample_solve_batched_jit(
+            warp[None], certainty[None], num_matches, key,
+            (int(hA), int(wA)), (int(hB), int(wB)),
+        )
+        return H[0]
 
     @partial(jax.jit, static_argnums=(0, 3, 5, 6))
     def _sample_solve_batched_jit(

@@ -56,11 +56,11 @@ def main():
     print(f"{'shape':<10} {'patch ms':>9} {'pallas f32':>11} {'pallas bf16':>12}")
     for tag, g, hw, c, r in SHAPES:
         qs = [
-            jnp.asarray(rng.normal(0, 1, (4, g, g, c)).astype(np.float32))
+            jnp.asarray(rng.normal(0, 1, (2, g, g, c)).astype(np.float32))
             for _ in range(4)
         ]
-        t = jnp.asarray(rng.normal(0, 1, (4, hw, hw, c)).astype(np.float32))
-        f = jnp.asarray(rng.uniform(-1, 1, (4, g, g, 2)).astype(np.float32))
+        t = jnp.asarray(rng.normal(0, 1, (2, hw, hw, c)).astype(np.float32))
+        f = jnp.asarray(rng.uniform(-1, 1, (2, g, g, 2)).astype(np.float32))
         cols = []
         for impl, cd in (("patch", None), ("pallas", None), ("pallas", jnp.bfloat16)):
             fj = jax.jit(
