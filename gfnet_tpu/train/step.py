@@ -11,6 +11,7 @@ batch (cross-replica sync-BN, SURVEY.md §7 hard part #5).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable
 
 import jax
@@ -70,6 +71,11 @@ def make_train_step(
         )
         metrics["grad_norm"] = optax.global_norm(grads)
         metrics["param_norm"] = optax.global_norm(state.params)
+        if os.environ.get("GFNET_GRAD_BREAKDOWN") == "1":
+            # per-submodule grad norms: locates which component a gradient
+            # explosion comes from (diagnostic; a handful of extra reductions)
+            for k, sub in grads.items():
+                metrics[f"gnorm/{k}"] = optax.global_norm(sub)
         # NaN/Inf-gradient telemetry (ref `trainer/train.py:21-25`)
         metrics["nonfinite_grad_leaves"] = sum(
             jnp.any(~jnp.isfinite(g)).astype(jnp.int32)

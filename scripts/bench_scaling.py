@@ -1,16 +1,21 @@
 """Scaling-efficiency harness: pairs/s vs mesh size (VERDICT r1 item 3).
 
-Measures, at mesh sizes {1, 2, 4, ...} up to the available device count:
-  - sharded TRAIN-step throughput (pairs/s, fixed per-device batch — weak
-    scaling, the DDP regime of ref `train.py:57,62`);
-  - sharded BATCHED-INFERENCE throughput via
-    `GFNetMatcher.estimate_homography_batched` with the matcher sharded over
-    the mesh (`shard_for_mesh`).
+Measures, at mesh sizes {1, 2, 4, ...} up to the available device count, the
+sharded TRAIN step and sharded BATCHED INFERENCE
+(`GFNetMatcher.estimate_homography_batched` after `shard_for_mesh`).
 
-On the CI CPU mesh (XLA_FLAGS=--xla_force_host_platform_device_count=8) this
-validates the sharded code paths and reports relative efficiency; the SAME
-code measures real scaling on a TPU pod. BASELINE.json target: >= 80%%
-efficiency 1 chip -> N.
+Two modes:
+  - weak (per-device batch fixed, the DDP regime of ref `train.py:57,62`):
+    the real pod-scaling measurement. Only meaningful when every mesh device
+    owns its own silicon — i.e. on actual TPU chips.
+  - fixed_compute (global batch fixed while the mesh grows): the honest
+    metric on a HOST-VIRTUAL mesh (XLA_FLAGS=--xla_force_host_platform_
+    device_count=N), where all "devices" share one CPU's cores and weak
+    scaling is physically impossible. t(mesh=N)/t(mesh=1) ~ 1.0 shows GSPMD
+    partitioning + collectives add no overhead at fixed total work — the
+    CPU-checkable part of the >= 80%% pod-efficiency target (BASELINE.json).
+
+Default mode is fixed_compute on CPU, weak on TPU.
 
   JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
       PYTHONPATH=/root/repo:$PYTHONPATH python scripts/bench_scaling.py \
@@ -44,6 +49,8 @@ def main(argv=None):
     p.add_argument("--tiny", action="store_true",
                    help="tiny config (CPU-mesh validation); default flagship")
     p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--mode", choices=["weak", "fixed_compute"], default=None,
+                   help="default: fixed_compute on cpu, weak on tpu")
     p.add_argument("--out", type=str, default=None)
     args = p.parse_args(argv)
 
@@ -62,6 +69,9 @@ def main(argv=None):
 
     n_avail = len(jax.devices())
     sizes = [s for s in args.sizes if s <= n_avail]
+    mode = args.mode or (
+        "weak" if jax.default_backend() in ("tpu", "axon") else "fixed_compute"
+    )
     cfg = tiny_test_config() if args.tiny else ModelConfig()
     dtype = jnp.float32 if args.tiny else jnp.bfloat16
     h, w = cfg.initial_res
@@ -71,7 +81,8 @@ def main(argv=None):
     for n in sizes:
         matcher = GFNetMatcher(cfg, dtype=dtype)
         mesh = create_mesh(n)
-        b = args.per_device_batch * n
+        b = (args.per_device_batch * n if mode == "weak"
+             else args.per_device_batch * max(sizes))
 
         # --- train step ---
         loss = RobustLoss(im_size=h)
@@ -117,14 +128,28 @@ def main(argv=None):
         })
         print(f"n={n}: train {train_pps:.2f} pairs/s, infer {inf_pps:.2f} pairs/s")
 
-    base_t = rows[0]["train_pairs_per_s"] / rows[0]["devices"]
-    base_i = rows[0]["infer_pairs_per_s"] / rows[0]["devices"]
-    for r in rows:
-        r["train_scaling_eff"] = r["train_pairs_per_s"] / (base_t * r["devices"])
-        r["infer_scaling_eff"] = r["infer_pairs_per_s"] / (base_i * r["devices"])
-        print(f"n={r['devices']}: efficiency train {r['train_scaling_eff']:.2f} "
-              f"infer {r['infer_scaling_eff']:.2f}")
-    result = {"config": "tiny" if args.tiny else "flagship", "rows": rows}
+    if mode == "weak":
+        base_t = rows[0]["train_pairs_per_s"] / rows[0]["devices"]
+        base_i = rows[0]["infer_pairs_per_s"] / rows[0]["devices"]
+        for r in rows:
+            r["train_scaling_eff"] = r["train_pairs_per_s"] / (base_t * r["devices"])
+            r["infer_scaling_eff"] = r["infer_pairs_per_s"] / (base_i * r["devices"])
+            print(f"n={r['devices']}: efficiency train {r['train_scaling_eff']:.2f} "
+                  f"infer {r['infer_scaling_eff']:.2f}")
+    else:
+        # fixed total work: sharding overhead = t(mesh=N) / t(mesh=1)
+        for r in rows:
+            r["train_overhead_vs_1dev"] = (
+                rows[0]["train_pairs_per_s"] / r["train_pairs_per_s"]
+            )
+            r["infer_overhead_vs_1dev"] = (
+                rows[0]["infer_pairs_per_s"] / r["infer_pairs_per_s"]
+            )
+            print(f"n={r['devices']}: sharding overhead (fixed global batch) "
+                  f"train {r['train_overhead_vs_1dev']:.2f}x "
+                  f"infer {r['infer_overhead_vs_1dev']:.2f}x")
+    result = {"config": "tiny" if args.tiny else "flagship", "mode": mode,
+              "rows": rows}
     if args.out:
         with open(args.out, "w") as f:
             json.dump(result, f, indent=1)

@@ -30,9 +30,16 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log_every", type=int, default=20)
     # The reference hyperparams (lr=1e-4, clip=0.01) are tuned for a 250k-step
-    # budget; a few-hundred-step learnability demo needs a hotter schedule.
-    p.add_argument("--lr_per_sample", type=float, default=4e-4)
-    p.add_argument("--grad_clip", type=float, default=1.0)
+    # budget; a short learnability demo needs a hotter schedule. Defaults are
+    # per-config: tiny takes lr 4e-4 / clip 1.0; flagship needs a cooler
+    # lr 1.25e-4 / clip 0.1 — at the hot settings its cross-view decoder
+    # (whose k/v enter attention un-normalized, ref `block.py:322-328`)
+    # intermittently explodes (grad norms 1e3-1e10, per-module telemetry via
+    # GFNET_GRAD_BREAKDOWN=1) and the clipped garbage directions undo
+    # learning. Diagnosed 2026-08-20; both dtypes explode identically, so it
+    # is an optimization-scale issue, not bf16.
+    p.add_argument("--lr_per_sample", type=float, default=None)
+    p.add_argument("--grad_clip", type=float, default=None)
     p.add_argument("--out", type=str, default=None, help="write JSON results here")
     p.add_argument("--save_head", type=str, default=None,
                    help="save the trained head variables to this .npz")
@@ -71,6 +78,10 @@ def main(argv=None):
     mace0, _ = benchmark_mace(matcher, bench)
     print(f"random-weight baseline MACE = {mace0:.2f} px over {len(bench)} pairs")
 
+    if args.lr_per_sample is None:
+        args.lr_per_sample = 4e-4 if args.config == "tiny" else 1.25e-4
+    if args.grad_clip is None:
+        args.grad_clip = 1.0 if args.config == "tiny" else 0.1
     tcfg = TrainConfig(
         grad_clip_norm=args.grad_clip, lr_per_sample=args.lr_per_sample
     )
@@ -92,9 +103,14 @@ def main(argv=None):
         state, metrics = step(state, matcher.vit_params, batch)
         if (i + 1) % args.log_every == 0:
             pck = {k: float(v) for k, v in metrics.items() if "pck" in k}
+            gb = {k.split("/")[1]: f"{float(v):.2e}" for k, v in metrics.items()
+                  if k.startswith("gnorm/")}
+            if gb:
+                print(f"  gnorm breakdown: {gb}")
             print(
                 f"step {i+1}/{args.steps} loss={float(metrics['total_loss']):.4f} "
-                f"grad={float(metrics['grad_norm']):.3f} {pck} "
+                f"grad={float(metrics['grad_norm']):.3f} "
+                f"nonfinite={int(metrics['nonfinite_grad_leaves'])} {pck} "
                 f"({(time.time()-t0)/(i+1):.2f}s/step)"
             )
 
