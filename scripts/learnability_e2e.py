@@ -43,6 +43,9 @@ def main(argv=None):
     p.add_argument("--out", type=str, default=None, help="write JSON results here")
     p.add_argument("--save_head", type=str, default=None,
                    help="save the trained head variables to this .npz")
+    p.add_argument("--init_head", type=str, default=None,
+                   help="initialize the head from a previously saved .npz "
+                   "(continue a training run)")
     p.add_argument("--config", choices=["tiny", "flagship"], default="tiny",
                    help="tiny (112->168, CPU-friendly) or flagship (448->560, "
                    "basic.json architecture; run on TPU)")
@@ -73,6 +76,17 @@ def main(argv=None):
         else jnp.bfloat16
     res = cfg.initial_res[0]
     matcher = GFNetMatcher(cfg, seed=args.seed, dtype=dtype)
+    if args.init_head:
+        raw = np.load(args.init_head)
+        tree: dict = {}
+        for name in raw.files:
+            d = tree
+            ks = name.split("/")
+            for k in ks[:-1]:
+                d = d.setdefault(k, {})
+            d[ks[-1]] = jnp.asarray(raw[name])
+        matcher.head_vars = tree
+        print(f"initialized head from {args.init_head}")
 
     bench = eval_pairs(args.eval_pairs, res, args.deformation)
     mace0, _ = benchmark_mace(matcher, bench)
