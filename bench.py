@@ -133,16 +133,23 @@ def main():
     )
 
     # ---------------- batched serving ---------------------------------------
-    im_ab = jnp.broadcast_to(im_a, (bsz, 448, 448, 3))
-    im_bb = jnp.broadcast_to(im_b, (bsz, 448, 448, 3))
+    # Distinct per-slot images (honest protocol — a broadcast batch is a
+    # dispatch-cache-friendly best case), and distinct batches per iteration
+    # like the single-stream loop, pre-staged outside the timed region.
+    n_bat = max(iters // 2, 3)
+    im_ab_v = [
+        jnp.asarray(rng.uniform(0, 1, (bsz, 448, 448, 3)).astype(np.float32))
+        for _ in range(n_bat)
+    ]
+    im_bb = jnp.asarray(rng.uniform(0, 1, (bsz, 448, 448, 3)).astype(np.float32))
 
     def batched(i):
         return matcher.estimate_homography_batched(
-            im_ab, im_bb, num_matches=5000, key=jax.random.PRNGKey(i)
+            im_ab_v[i % n_bat], im_bb, num_matches=5000, key=jax.random.PRNGKey(i)
         )
 
     sync(batched(0))  # compile
-    dt_batched = _timeit_fetch(batched, lambda Hs: Hs[0], max(iters // 2, 3), rt0)
+    dt_batched = _timeit_fetch(batched, lambda Hs: Hs[0], n_bat, rt0)
     batched_pairs_per_s = bsz / dt_batched
 
     vs_baseline = 1.0

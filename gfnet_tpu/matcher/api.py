@@ -401,6 +401,11 @@ class GFNetMatcher:
         Returns H mapping image-A pixel coords to image-B pixel coords at the
         ORIGINAL input resolutions (corner-aligned denormalization, ref
         `estimation.py:26-45`).
+
+        RNG stream note: since the single-dispatch sample+solve unification
+        (commit 0d817db) `key` is consumed as `split(key, 1)[0]` then split
+        per pair inside the batched jit — the same seed yields different
+        (equally valid) matches/H than pre-unification builds.
         """
         if key is None:
             key = jax.random.PRNGKey(0)

@@ -145,9 +145,11 @@ class ConvRefiner(nn.Module):
         XLA backward)."""
         if train:
             return "off"
-        mode = os.environ.get("GFNET_REFINE_STACK", "off")
-        if os.environ.get("GFNET_FUSED_REFINER") == "1":  # legacy flag
-            mode = "full"
+        mode = os.environ.get("GFNET_REFINE_STACK")
+        if mode is None and os.environ.get("GFNET_FUSED_REFINER") == "1":
+            mode = "full"  # legacy flag; an explicit GFNET_REFINE_STACK wins
+        if mode is None:
+            mode = "off"
         if mode not in ("hidden", "full"):
             return "off"
         if jax.default_backend() not in ("tpu", "axon"):

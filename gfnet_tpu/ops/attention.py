@@ -21,8 +21,11 @@ import jax.numpy as jnp
 
 Array = jax.Array
 
-# Longest kv length the one-shot kernel handles comfortably: the per-program
-# f32 logits block is block_q x nkp <= 512 * 4096 * 4 B = 8 MB of VMEM.
+# Longest kv length routed to the one-shot kernel. The kernel defaults to
+# whole-row q blocks (one program per batch*head) gated by a 24 MB f32 logits
+# budget, falling back to 512-row q tiles past it (see
+# ops/pallas/oneshot_attention.py); at kv 4096 even the tiled block is
+# 512 * 4096 * 4 B = 8 MB of VMEM — beyond that, stream with flash instead.
 _ONESHOT_MAX_KV = 4096
 
 
