@@ -110,6 +110,17 @@ class GFNetMatcher:
         else:
             self.vit_params = jax.device_put(self.vit_params, repl)
 
+    def _pad_to_mesh(self, b: int) -> int:
+        """Rows to append so a batch of `b` shards evenly over the mesh.
+
+        DDP sidesteps ragged batches with drop_last (`train.py:123-133`);
+        serving can't drop requests, so `match` pads the batch by repeating
+        the final pair and slices the outputs back to `b` — every B runs
+        genuinely sharded instead of silently falling back to replicated."""
+        if getattr(self, "mesh", None) is None:
+            return 0
+        return (-b) % self.mesh.size
+
     def _place_batch(self, x: Array) -> Array:
         if getattr(self, "mesh", None) is not None and x.shape[0] % self.mesh.size == 0:
             return jax.device_put(x, self._batch_sharding)
@@ -319,6 +330,13 @@ class GFNetMatcher:
         batched = im_A_raw.ndim == 4
         if not batched:
             im_A_raw, im_B_raw = im_A_raw[None], im_B_raw[None]
+        b = im_A_raw.shape[0]
+        pad = self._pad_to_mesh(b)
+        if pad:
+            rep = lambda x: jnp.concatenate(
+                [x, jnp.broadcast_to(x[-1:], (pad,) + x.shape[1:])], axis=0
+            )
+            im_A_raw, im_B_raw = rep(im_A_raw), rep(im_B_raw)
         im_A_raw = self._place_batch(im_A_raw)
         im_B_raw = self._place_batch(im_B_raw)
         pre_flow, pre_cert, low = self._pass1_jit(
@@ -327,6 +345,8 @@ class GFNetMatcher:
         warp, certainty = self._pass2_jit(
             self.head_vars, self.vit_params, im_A_raw, im_B_raw, pre_flow, pre_cert, low
         )
+        if pad:
+            warp, certainty = warp[:b], certainty[:b]
         if not batched:
             return warp[0], certainty[0]
         return warp, certainty

@@ -102,6 +102,31 @@ def test_estimate_homography_batched(matcher):
     assert H1.shape == (1, 3, 3)
 
 
+def test_batched_odd_batch_under_mesh(matcher):
+    """B % mesh.size != 0 serving: the batch is padded to a mesh multiple
+    (repeating the last pair), runs genuinely sharded, and outputs are
+    sliced back to B — same values as the unsharded path."""
+    from gfnet_tpu.parallel.mesh import create_mesh
+
+    rng = np.random.default_rng(7)
+    imA = rng.uniform(0, 1, (3, 64, 64, 3)).astype(np.float32)
+    imB = rng.uniform(0, 1, (3, 64, 64, 3)).astype(np.float32)
+    w_ref, c_ref = matcher.match(imA, imB)
+
+    sharded = GFNetMatcher(
+        matcher.cfg, matcher.vit_params, matcher.head_vars, dtype=jnp.float32
+    )
+    sharded.shard_for_mesh(create_mesh(8))
+    assert sharded._pad_to_mesh(3) == 5
+    w, c = sharded.match(imA, imB)
+    assert w.shape == w_ref.shape and c.shape == c_ref.shape
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(c_ref), atol=2e-5)
+    Hs = sharded.estimate_homography_batched(imA, imB, num_matches=300)
+    assert Hs.shape == (3, 3, 3)
+    assert bool(jnp.all(jnp.isfinite(Hs)))
+
+
 def test_match_deterministic(matcher):
     rng = np.random.default_rng(5)
     imA = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
