@@ -22,10 +22,12 @@ we stop_gradient the sampled windows identically.
 
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from gfnet_tpu.core.geometry import normalized_grid
@@ -35,6 +37,87 @@ from gfnet_tpu.ops.resize import interpolate
 from gfnet_tpu.ops.sampler import grid_sample
 
 Array = jax.Array
+
+
+# --------------------------------------------------------------------------
+# Space-to-depth (factor 2) execution of the refiner conv stack.
+#
+# At the fine scales the stack's channel counts (24/57 for the flagship) are
+# lane-padded to the TPU's 128-lane width on every HBM round-trip (up to 5.3x
+# wasted bytes), and the shift-accumulate depthwise conv is VPU-bound. Packing
+# 2x2 spatial phases into channels (G, G, C) -> (G/2, G/2, 4C) fixes both at
+# once: the tensors fill the lanes, and the depthwise 5x5 becomes a DENSE 3x3
+# convolution on 4C channels with zero-structured expanded weights — an MXU
+# op. The expansion is exact: tap (ty, tx) of output phase (qy, qx) reads
+# input phase ((qy+ty) mod 2, (qx+tx) mod 2) of the s2d cell offset
+# (floor((qy+ty)/2), floor((qx+tx)/2)) in {-1, 0, 1}, so a 3x3 kernel covers
+# the whole 5x5 receptive field. Same taps, same f32 accumulation — only the
+# summation order changes. Params keep their reference-compatible layouts
+# ((k, k, 1, C) depthwise, (1, 1, C, C) pointwise, (C,) BN); expansion happens
+# per call (tiny einsums against constant 0/1 maps).
+# --------------------------------------------------------------------------
+
+
+def space_to_depth(x: Array) -> Array:
+    """(B, H, W, C) -> (B, H/2, W/2, 4C); phase p = 2*py + px, chan p*C + c."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def depth_to_space(x: Array) -> Array:
+    """Inverse of :func:`space_to_depth`."""
+    b, h2, w2, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, h2, w2, 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, 2 * h2, 2 * w2, c)
+
+
+@functools.lru_cache(maxsize=8)
+def _s2d_tap_map(k: int) -> np.ndarray:
+    """(3, 3, 4, 4, k*k) 0/1 map: [dY+1, dX+1, p_in, p_out, tap]."""
+    t = np.zeros((3, 3, 4, 4, k * k), np.float32)
+    r = k // 2
+    for qy in range(2):
+        for qx in range(2):
+            for ty in range(-r, r + 1):
+                for tx in range(-r, r + 1):
+                    dy, py = (qy + ty) // 2, (qy + ty) % 2
+                    dx, px = (qx + tx) // 2, (qx + tx) % 2
+                    t[dy + 1, dx + 1, 2 * py + px, 2 * qy + qx,
+                      (ty + r) * k + (tx + r)] = 1.0
+    return t
+
+
+def _expand_dw_kernel(w: Array, k: int, c: int) -> Array:
+    """Depthwise (k, k, 1, C) -> dense s2d HWIO (3, 3, 4C, 4C)."""
+    tap = jnp.asarray(_s2d_tap_map(k))  # (3,3,4,4,kk)
+    wt = jnp.einsum("abiot,tc->abioc", tap, w.reshape(k * k, c))
+    eye = jnp.eye(c, dtype=w.dtype)
+    full = wt[..., :, None] * eye  # (3,3,4,4,C,C) diag over channel
+    return full.transpose(0, 1, 2, 4, 3, 5).reshape(3, 3, 4 * c, 4 * c)
+
+
+def _expand_pw_kernel(w: Array) -> Array:
+    """Pointwise (1, 1, C, D) -> phase-block-diagonal (1, 1, 4C, 4D)."""
+    c, d = w.shape[-2], w.shape[-1]
+    eye4 = jnp.eye(4, dtype=w.dtype)
+    full = eye4[:, None, :, None] * w[0, 0][None, :, None, :]  # (4,C,4,D)
+    return full.reshape(1, 1, 4 * c, 4 * d)
+
+
+def _conv_s2d(x: Array, kernel: Array, bias: Array, dtype) -> Array:
+    """NHWC conv with f32 accumulation; returns f32 (bias added)."""
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), kernel.astype(dtype),
+        window_strides=(1, 1),
+        padding="SAME" if kernel.shape[0] > 1 else "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    return y + bias.astype(jnp.float32)
 
 
 class DepthwiseConv(nn.Module):
@@ -59,10 +142,16 @@ class DepthwiseConv(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, s2d: bool = False) -> Array:
         k = self.kernel
         kernel = self.param("kernel", torch_uniform_init(), (k, k, 1, self.features))
         bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        if s2d:
+            # (B, G/2, G/2, 4C) phase-packed input: dense 3x3 MXU conv with
+            # the zero-structured expanded weights (see module docstring).
+            w3 = _expand_dw_kernel(kernel.astype(jnp.float32), k, self.features)
+            b4 = jnp.tile(bias, 4)
+            return _conv_s2d(x, w3, b4, self.dtype).astype(self.dtype)
         w = kernel.astype(jnp.float32)
         x = x.astype(self.dtype)
         p = k // 2
@@ -76,6 +165,72 @@ class DepthwiseConv(nn.Module):
         return (out + bias.astype(jnp.float32)).astype(self.dtype)
 
 
+class PhaseBN(nn.Module):
+    """BatchNorm with reference-layout (C,) stats/params that can normalize a
+    phase-folded s2d tensor (..., P*C); P=1 reproduces nn.BatchNorm exactly
+    (same f32 moments, same biased-variance running update)."""
+
+    features: int
+    momentum: float = 0.99
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: Array, train: bool, phases: int = 1) -> Array:
+        c = self.features
+        scale = self.param("scale", nn.initializers.ones_init(), (c,))
+        bias = self.param("bias", nn.initializers.zeros_init(), (c,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        xf = x.astype(jnp.float32)
+        if train:
+            red = tuple(range(x.ndim - 1))
+            n = x.size // x.shape[-1] * phases
+            s1 = jnp.sum(xf, axis=red)
+            s2 = jnp.sum(xf * xf, axis=red)
+            if phases > 1:
+                s1 = s1.reshape(phases, c).sum(0)
+                s2 = s2.reshape(phases, c).sum(0)
+            mean = s1 / n
+            var = jnp.maximum(0.0, s2 / n - mean * mean)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        tile = (lambda v: jnp.tile(v, phases)) if phases > 1 else (lambda v: v)
+        # literal nn.BatchNorm arithmetic: (x - mean) * (scale * rsqrt) + bias
+        mul = scale * jax.lax.rsqrt(var + self.epsilon)
+        return (xf - tile(mean)) * tile(mul) + tile(bias)
+
+
+class PwConv(nn.Module):
+    """1x1 conv with reference param layout, s2d-aware (block-diag expand)."""
+
+    in_features: int
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, s2d: bool = False) -> Array:
+        kernel = self.param(
+            "kernel", torch_uniform_init(), (1, 1, self.in_features, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        if not s2d:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype), (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return y + bias.astype(y.dtype)
+        w4 = _expand_pw_kernel(kernel)
+        return _conv_s2d(x, w4, jnp.tile(bias, 4), self.dtype).astype(self.dtype)
+
+
 class RefineBlock(nn.Module):
     """depthwise 5x5 conv → BN → ReLU → 1x1 conv (ref `network.py:505-531`)."""
 
@@ -85,20 +240,17 @@ class RefineBlock(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = False) -> Array:
-        x = DepthwiseConv(self.features, self.kernel, dtype=self.dtype, name="dw")(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=self.bn_momentum,
-            epsilon=1e-5,
-            dtype=jnp.float32,
-            name="bn",
-        )(x).astype(self.dtype)
+    def __call__(self, x: Array, train: bool = False, s2d: bool = False) -> Array:
+        x = DepthwiseConv(self.features, self.kernel, dtype=self.dtype, name="dw")(
+            x, s2d=s2d
+        )
+        x = PhaseBN(self.features, momentum=self.bn_momentum, name="bn")(
+            x, train, phases=4 if s2d else 1
+        ).astype(self.dtype)
         x = jax.nn.relu(x)
-        return nn.Conv(
-            self.features, (1, 1), use_bias=True,
-            kernel_init=torch_uniform_init(), dtype=self.dtype, name="pw",
-        )(x)
+        return PwConv(self.features, self.features, dtype=self.dtype, name="pw")(
+            x, s2d=s2d
+        )
 
 
 class _HiddenScanBody(nn.Module):
@@ -109,11 +261,12 @@ class _HiddenScanBody(nn.Module):
     kernel: int
     train: bool
     dtype: jnp.dtype
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x: Array, _):
         y = RefineBlock(self.features, self.kernel, dtype=self.dtype, name="block")(
-            x, self.train
+            x, self.train, s2d=self.s2d
         )
         return y, None
 
@@ -127,6 +280,22 @@ class ConvRefiner(nn.Module):
     hidden_blocks: int = 8
     kernel_size: int = 5
     dtype: jnp.dtype = jnp.bfloat16
+
+    def _s2d_enabled(self, g: int) -> bool:
+        """Space-to-depth stack execution gate.
+
+        Wins where lane padding + the VPU depthwise bite: large grids at small
+        channel counts (flagship scales "2"/"1": C=57/24 at G>=128; measured
+        v5e, scripts/profile_s2d.py). At C>=96 the dense-conv redundancy
+        (9*(4C)^2 MACs vs 25*C) overtakes the padding saved — keep the
+        shift-accumulate path there. GFNET_S2D=0 hard-off, =1 forces it for
+        any even grid (CPU tests use this)."""
+        flag = os.environ.get("GFNET_S2D")
+        if flag == "0" or g % 2:
+            return False
+        if flag == "1":
+            return True
+        return g >= 128 and self.hidden_dim <= 96
 
     def _fused_mode(self, d_shape, train: bool) -> str:
         """Dispatch mode for the fused Pallas block stack
@@ -212,6 +381,31 @@ class ConvRefiner(nn.Module):
         d = jnp.concatenate(feats, axis=-1)
         assert d.shape[-1] == self.hidden_dim, (d.shape, self.hidden_dim)
 
+        if self._s2d_enabled(g):
+            # Space-to-depth execution of the whole stack (see top of file):
+            # dense MXU convs on 4C lanes replace the VPU shift-accumulate
+            # depthwise + lane-padded round-trips. Exact same math; works in
+            # training too (PhaseBN folds phase stats back to (C,)).
+            d = space_to_depth(d)
+            d = RefineBlock(self.hidden_dim, self.kernel_size, dtype=dt,
+                            name="block1")(d, train, s2d=True)
+            body = nn.remat(_HiddenScanBody) if train else _HiddenScanBody
+            Scanned = nn.scan(
+                body,
+                variable_axes={"params": 0, "batch_stats": 0},
+                split_rngs={"params": True},
+                length=self.hidden_blocks,
+                metadata_params={nn.meta.PARTITION_NAME: None},
+            )
+            d, _ = Scanned(
+                self.hidden_dim, self.kernel_size, train, dt, True, name="hidden"
+            )(d, None)
+            out = PwConv(self.hidden_dim, 3, dtype=jnp.float32, name="out_conv")(
+                d.astype(jnp.float32), s2d=True
+            )
+            out = depth_to_space(out.astype(jnp.float32))
+            return out[..., :2], out[..., 2:3]
+
         mode = self._fused_mode(d.shape, train)
         if mode == "full":
             # Whole block1 + hidden stack + out_conv as channels-in-sublane
@@ -260,9 +454,8 @@ class ConvRefiner(nn.Module):
         d, _ = Scanned(
             self.hidden_dim, self.kernel_size, train, dt, name="hidden"
         )(d, None)
-        out = nn.Conv(
-            3, (1, 1), use_bias=True, kernel_init=torch_uniform_init(),
-            dtype=jnp.float32, name="out_conv",
-        )(d.astype(jnp.float32))
+        out = PwConv(self.hidden_dim, 3, dtype=jnp.float32, name="out_conv")(
+            d.astype(jnp.float32)
+        )
         delta_flow, delta_cert = out[..., :2], out[..., 2:3]
         return delta_flow, delta_cert

@@ -48,13 +48,15 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale, nk, nkp, tq):
     m = jnp.max(logits, axis=1, keepdims=True)
     e = jnp.exp(logits - m)
     s = jnp.sum(e, axis=1, keepdims=True)
-    p = (e / s).astype(v_ref.dtype)  # (TQ, Nkp) bf16
+    # normalize AFTER the PV dot: dividing the (TQ, Nkp) block by s costs a
+    # many-cycle VPU divide per element (measured ~2.6x whole-kernel time at
+    # N=1601); scaling the (TQ, D) output by 1/s is Nkp/D times cheaper.
     out = jax.lax.dot_general(
-        p, v_ref[0],
+        e.astype(v_ref.dtype), v_ref[0],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (TQ, D)
-    o_ref[0] = out.astype(o_ref.dtype)
+    o_ref[0] = (out * (1.0 / s)).astype(o_ref.dtype)
 
 
 def oneshot_attention(
