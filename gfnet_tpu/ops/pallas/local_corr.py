@@ -14,9 +14,11 @@ B*G*G*K*C*4corners values from HBM; this kernel instead:
      cells: G patch copies into VMEM scratch, then ONE batched
      (G, win^2, C) x (G, C) MXU contraction + a vectorized VPU bilinear
      combine — no per-cell scalar compute;
-  4. feeds the per-cell integer bases through scalar-prefetch SMEM arrays
-     (PrefetchScalarGridSpec), the supported path for data-dependent slice
-     indices; fractional weights ride a VMEM operand.
+  4. feeds the per-cell integer bases through BLOCKED SMEM inputs (one
+     (rows*G,) int32 block per program) for data-dependent slice indices;
+     fractional weights ride a VMEM operand. (Scalar prefetch would load the
+     whole B*G*G base array into SMEM — capacity-crashes the compiler at
+     B >= 8 fine scales.)
 
 Zero-padding semantics of `grid_sample(padding_mode="zeros",
 align_corners=False)` are reproduced exactly by zero-padding the target with
@@ -59,12 +61,14 @@ def _precompute(flow: Array, h: int, w: int, radius: int, pad: int):
 
 
 def _load_patches(by_ref, bx_ref, target_ref, patches_ref, stage_ref, row, g, win):
+    """by_ref/bx_ref: (1, 1, 1, rows*g) int32 SMEM blocks (this program's cells);
+    `row` is the in-block offset of the grid row being loaded."""
     if stage_ref is None:
         # 32-bit storage: dynamic vector loads at arbitrary (y, x) offsets
         # lower directly.
         def copy(j, _):
-            y = by_ref[row + j]
-            x = bx_ref[row + j]
+            y = by_ref[0, 0, 0, row + j]
+            x = bx_ref[0, 0, 0, row + j]
             patches_ref[j] = target_ref[0, pl.ds(y, win), pl.ds(x, win), :]
             return 0
 
@@ -79,8 +83,8 @@ def _load_patches(by_ref, bx_ref, target_ref, patches_ref, stage_ref, row, g, wi
     wide = stage_ref.shape[1]
 
     def copy(j, _):
-        y = by_ref[row + j]
-        x = bx_ref[row + j]
+        y = by_ref[0, 0, 0, row + j]
+        x = bx_ref[0, 0, 0, row + j]
         x8 = (x // 8) * 8
         stage_ref[:] = target_ref[0, pl.ds(y, win), pl.ds(x8, wide), :].astype(
             jnp.float32
@@ -131,11 +135,9 @@ def _fwd_kernel(by_ref, bx_ref, query_ref, fw_ref, sel_ref, target_ref, out_ref,
     stage = scratch[0] if scratch else None
     win = 2 * radius + 2
     inv_sqrt_c = 1.0 / float(np.sqrt(c))
-    bb = pl.program_id(0)
-    ti = pl.program_id(1)
 
     def rowloop(i, _):
-        row = (bb * g + ti * rows + i) * g
+        row = i * g
         _load_patches(by_ref, bx_ref, target_ref, patches_ref, stage, row, g, win)
 
         # collapse (win, win) keeping the lane (C) dim — supported reshape.
@@ -171,11 +173,9 @@ def _bwd_kernel(by_ref, bx_ref, g_ref, fw_ref, sel_ref, target_ref, dq_ref,
     stage = scratch[0] if scratch else None
     win = 2 * radius + 2
     inv_sqrt_c = 1.0 / float(np.sqrt(c))
-    bb = pl.program_id(0)
-    ti = pl.program_id(1)
 
     def rowloop(i, _):
-        row = (bb * g + ti * rows + i) * g
+        row = i * g
         _load_patches(by_ref, bx_ref, target_ref, patches_ref, stage, row, g, win)
 
         gj = g_ref[0, i] * inv_sqrt_c  # (g, K)
@@ -207,22 +207,35 @@ def _run(kernel, main_in, by, bx, fw, target_pad, out_channels, *, radius, inter
 
     rows = _rows_per_program(g1)
     kern = functools.partial(kernel, radius=radius, g=g2, c=c, rows=rows)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(b, g1 // rows),
+    # Window bases ride BLOCKED SMEM inputs — only this program's rows*g2
+    # cells (a few KB) — NOT scalar prefetch, which loads the whole (B*G*G)
+    # array into SMEM and blows its capacity at B >= 8 flagship fine scales
+    # (the remote compiler subprocess crashes outright; scripts/probe_lc_b8.py).
+    nt = g1 // rows
+    # trailing (1, rows*g2) dims satisfy the block-shape tiling rule (equal to
+    # the respective array dims) while keeping the SMEM block per-program
+    by = by.reshape(b, nt, 1, rows * g2)
+    bx = bx.reshape(b, nt, 1, rows * g2)
+    return pl.pallas_call(
+        kern,
+        grid=(b, nt),
         in_specs=[
+            pl.BlockSpec((1, 1, 1, rows * g2), lambda bb, i: (bb, i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, 1, rows * g2), lambda bb, i: (bb, i, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, rows, g2, main_in.shape[3]),
-                         lambda bb, i, *prefetch: (bb, i, 0, 0),
+                         lambda bb, i: (bb, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows, g2, 2), lambda bb, i, *prefetch: (bb, i, 0, 0),
+            pl.BlockSpec((1, rows, g2, 2), lambda bb, i: (bb, i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(sel.shape, lambda bb, i, *prefetch: (0, 0, 0),
+            pl.BlockSpec(sel.shape, lambda bb, i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hp, wp, c), lambda bb, i, *prefetch: (bb, 0, 0, 0),
+            pl.BlockSpec((1, hp, wp, c), lambda bb, i: (bb, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, rows, g2, out_channels), lambda bb, i, *prefetch: (bb, i, 0, 0),
+            (1, rows, g2, out_channels), lambda bb, i: (bb, i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -236,10 +249,6 @@ def _run(kernel, main_in, by, bx, fw, target_pad, out_channels, *, radius, inter
             if sixteen_bit
             else []
         ),
-    )
-    return pl.pallas_call(
-        kern,
-        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, g1, g2, out_channels), jnp.float32),
         # The default scoped-vmem limit is context-dependent (16M was observed
         # inside the two-pass matcher graph vs ~64M standalone), which made
