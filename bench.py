@@ -159,6 +159,8 @@ def main():
         if base:
             vs_baseline = pairs_per_s / base
 
+    from gfnet_tpu.ops.local_correlation import dispatch_table
+
     print(
         json.dumps(
             {
@@ -173,6 +175,13 @@ def main():
                     "pass2_560": round(t_pass2 * 1e3, 2),
                     "sample_solve": round(t_solve * 1e3, 2),
                 },
+                # which local-correlation impl actually ran per shape
+                # (silent kernel-coverage regressions show up here)
+                "local_corr_dispatch": [
+                    f"t{tuple(d['target'])} q{tuple(d['query'])} r{d['radius']}"
+                    f" -> {d['impl']}"
+                    for d in dispatch_table()
+                ],
             }
         )
     )

@@ -100,6 +100,9 @@ class GFNetMatcher:
         self.mesh = mesh
         self._batch_sharding = batch_sharding(mesh)
         repl = replicated_sharding(mesh)
+        # rebuild the head with the mesh so sub-mesh batches route the coarse
+        # init through the grid-block-sharded correlation (GFNet.corr_mesh)
+        self.head = GFNet(self.cfg, dtype=self.dtype, corr_mesh=mesh)
         self.head_vars = jax.device_put(self.head_vars, repl)
         if fsdp_vit:
             self.vit_params = jax.tree_util.tree_map(
@@ -115,9 +118,13 @@ class GFNetMatcher:
 
         DDP sidesteps ragged batches with drop_last (`train.py:123-133`);
         serving can't drop requests, so `match` pads the batch by repeating
-        the final pair and slices the outputs back to `b` — every B runs
-        genuinely sharded instead of silently falling back to replicated."""
-        if getattr(self, "mesh", None) is None:
+        the final pair and slices the outputs back to `b` — every B >= mesh
+        size runs genuinely batch-sharded instead of silently replicated.
+        Batches SMALLER than the mesh aren't padded (padding buys nothing:
+        wall time stays one pair's time); they run in latency mode —
+        replicated, with the coarse correlation init grid-sharded over the
+        mesh instead (GFNet._use_sharded_corr)."""
+        if getattr(self, "mesh", None) is None or b < self.mesh.size:
             return 0
         return (-b) % self.mesh.size
 

@@ -33,7 +33,7 @@ from gfnet_tpu.config import ModelConfig
 from gfnet_tpu.models.crossview import CrossViewDecoder
 from gfnet_tpu.models.fpn import ConvBNAct, FPNDecoder, FPNEncoder
 from gfnet_tpu.models.refiner import ConvRefiner
-from gfnet_tpu.ops.correlation import corr_volume_flow
+from gfnet_tpu.ops.correlation import corr_volume_flow, corr_volume_flow_sharded
 from gfnet_tpu.ops.resize import interpolate
 
 Array = jax.Array
@@ -42,10 +42,18 @@ SCALES = ("16", "8", "4", "2", "1")
 
 
 class GFNet(nn.Module):
-    """Trainable matching head (everything except the frozen ViT)."""
+    """Trainable matching head (everything except the frozen ViT).
+
+    corr_mesh: optional `jax.sharding.Mesh` enabling the grid-block-sharded
+    correlation init (SURVEY §5's long-sequence analogue) — used when the
+    forward batch can NOT occupy the mesh's data axis (latency-scaling
+    serving of small batches; see `_use_sharded_corr`). Set via
+    `GFNetMatcher.shard_for_mesh`.
+    """
 
     cfg: ModelConfig
     dtype: jnp.dtype = jnp.bfloat16
+    corr_mesh: Any = None
 
     def setup(self):
         cfg = self.cfg
@@ -74,6 +82,17 @@ class GFNet(nn.Module):
                 dtype=self.dtype,
             )
         self.refiners = refiners
+
+    def _use_sharded_corr(self, f_shape) -> bool:
+        """Route the coarse init through the sharded kernel when the batch
+        axis leaves the mesh idle (B' not mesh-divisible): batch sharding is
+        the better parallelism whenever it applies, grid sharding is the
+        latency-mode fallback that still cuts the score memory d-fold."""
+        if self.corr_mesh is None:
+            return False
+        d = self.corr_mesh.size
+        b_prime, gh, gw = f_shape[0], f_shape[1], f_shape[2]
+        return b_prime % d != 0 and (gh * gw) % d == 0
 
     def extract_features(
         self, x: Array, vit_tokens: Array, grid_hw: tuple[int, int],
@@ -170,6 +189,12 @@ class GFNet(nn.Module):
                     assert pre_flow is not None and pre_certainty is not None
                     flow = interpolate(pre_flow, (g, g), "bilinear", False)
                     certainty = interpolate(pre_certainty, (g, g), "bilinear", False)
+                elif self._use_sharded_corr(f0.shape):
+                    # grid-block-sharded init: each device holds an N1/d slice
+                    # of target cells + scores, combined by a flash-style
+                    # distributed softmax expectation over ICI.
+                    flow = corr_volume_flow_sharded(f0, f1, self.corr_mesh)
+                    certainty = jnp.zeros(flow.shape[:-1] + (1,), flow.dtype)
                 else:
                     flow = corr_volume_flow(f0, f1)  # (B', g, g, 2)
                     certainty = jnp.zeros(flow.shape[:-1] + (1,), flow.dtype)

@@ -109,15 +109,18 @@ def _expand_pw_kernel(w: Array) -> Array:
 
 
 def _conv_s2d(x: Array, kernel: Array, bias: Array, dtype) -> Array:
-    """NHWC conv with f32 accumulation; returns f32 (bias added)."""
+    """NHWC conv in `dtype` operands; returns f32 (bias added in f32).
+
+    No preferred_element_type: TPU bf16 convs accumulate f32 internally
+    anyway, and a widened output dtype breaks the conv VJP (cotangent/operand
+    dtype mismatch in the transpose conv)."""
     y = jax.lax.conv_general_dilated(
         x.astype(dtype), kernel.astype(dtype),
         window_strides=(1, 1),
         padding="SAME" if kernel.shape[0] > 1 else "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
-    return y + bias.astype(jnp.float32)
+    return y.astype(jnp.float32) + bias.astype(jnp.float32)
 
 
 class DepthwiseConv(nn.Module):

@@ -75,6 +75,11 @@ def corr_volume_flow_sharded(feat0: Array, feat1: Array, mesh, axis: str = "data
     Per-device score memory drops d-fold; results match the dense
     `corr_volume_flow` elementwise (tested on the 8-device CPU mesh). Query
     features are replicated (they are small: N0 x C).
+
+    jit-friendly: sharding is expressed with with_sharding_constraint +
+    shard_map, so the whole thing can live inside the matcher's pass1
+    executable (reached via `GFNetMatcher.shard_for_mesh` when a request's
+    batch leaves the mesh idle — the latency-scaling serving mode).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -87,6 +92,7 @@ def corr_volume_flow_sharded(feat0: Array, feat1: Array, mesh, axis: str = "data
     f1 = feat1.reshape(b, n1, ch)
     grid = jnp.broadcast_to(normalized_grid(h1, w1).reshape(n1, 2), (b, n1, 2))
     inv_sqrt_c = 1.0 / jnp.sqrt(jnp.asarray(ch, jnp.float32))
+    wsc = jax.lax.with_sharding_constraint
 
     def block(f0_rep, f1_blk, grid_blk):
         # f1_blk/grid_blk: this device's target-cell slice (B, N1/d, ·)
@@ -112,8 +118,8 @@ def corr_volume_flow_sharded(feat0: Array, feat1: Array, mesh, axis: str = "data
         in_specs=(P(), P(None, axis, None), P(None, axis, None)),
         out_specs=P(),
     )(
-        jax.device_put(f0, NamedSharding(mesh, P())),
-        jax.device_put(f1, NamedSharding(mesh, P(None, axis, None))),
-        jax.device_put(grid, NamedSharding(mesh, P(None, axis, None))),
+        wsc(f0, NamedSharding(mesh, P())),
+        wsc(f1, NamedSharding(mesh, P(None, axis, None))),
+        wsc(grid, NamedSharding(mesh, P(None, axis, None))),
     )
     return flow.reshape(b, h0, w0, 2)

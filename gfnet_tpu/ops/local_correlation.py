@@ -191,6 +191,31 @@ def _pallas_probe(query, target, flow, radius, compute_dtype):
 
 _PROBE_CACHE: dict = {}
 
+# Dispatch observability (VERDICT r3 #6): one entry per distinct shape the
+# auto gate resolved, so silent fallbacks (e.g. a kernel-coverage regression
+# eating perf) are visible. bench.py embeds this in its JSON line.
+DISPATCH_LOG: dict = {}
+
+
+def _record_dispatch(tshape, qshape, radius, impl: str) -> None:
+    key = (tuple(int(x) for x in tshape), tuple(int(x) for x in qshape), int(radius))
+    if key not in DISPATCH_LOG:
+        DISPATCH_LOG[key] = impl
+        import logging
+
+        logging.getLogger("gfnet_tpu").info(
+            "local_correlation dispatch: target=%s query=%s r=%d -> %s",
+            key[0], key[1], radius, impl,
+        )
+
+
+def dispatch_table() -> list[dict]:
+    """JSON-friendly view of the impl the auto gate picked per shape."""
+    return [
+        {"target": list(t), "query": list(q), "radius": r, "impl": impl}
+        for (t, q, r), impl in sorted(DISPATCH_LOG.items(), key=str)
+    ]
+
 
 def _pallas_supported(tshape, qshape, radius: int, compute_dtype) -> bool:
     """Definitive per-shape gate: try to COMPILE the standalone Pallas call
@@ -265,9 +290,14 @@ def local_correlation(
 
             for try_cd in dict.fromkeys([jnp.float32, cd]):
                 if _pallas_supported(target.shape, query.shape, radius, try_cd):
+                    _record_dispatch(
+                        target.shape, query.shape, radius,
+                        f"pallas_{jnp.dtype(try_cd).name}",
+                    )
                     return local_correlation_pallas(
                         query, target, flow, radius, compute_dtype=try_cd
                     )
+        _record_dispatch(target.shape, query.shape, radius, "patch_gather")
         return _local_correlation_patch(query, target, flow, radius)
     if impl == "patch":
         return _local_correlation_patch(query, target, flow, radius)

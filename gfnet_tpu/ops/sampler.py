@@ -84,18 +84,79 @@ def _grid_sample_packed(img: Array, grid: Array, align_corners: bool) -> Array:
     return out.reshape(out_shape)
 
 
+def _grid_sample_patch(img: Array, grid: Array, align_corners: bool) -> Array:
+    """Patch-slice bilinear sampling, zeros padding only.
+
+    ONE `lax.gather` of contiguous (2, 2, C) slices per point instead of
+    index-row lookups — the TPU executes multi-element slice_sizes as wide
+    contiguous copies (same trick as ops/local_correlation's patch impl,
+    where it measured ~10x over the row-gather form). Semantics identical to
+    the base lowering: zero padding via a 2-cell margin + CLIP mode, so every
+    out-of-range corner lands on zeros.
+    """
+    b, h, w, c = img.shape
+    out_shape = grid.shape[:-1] + (c,)
+    grid = grid.reshape(b, -1, 2)
+    n = grid.shape[1]
+
+    x, y = _unnormalize(grid, h, w, align_corners)
+    x = jnp.where(jnp.isfinite(x), x, -1e9)
+    y = jnp.where(jnp.isfinite(y), y, -1e9)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+
+    pad = 2
+    imgp = jnp.pad(img, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    hp, wp = h + 2 * pad, w + 2 * pad
+    yb = jnp.clip(y0.astype(jnp.int32) + pad, 0, hp - 2)
+    xb = jnp.clip(x0.astype(jnp.int32) + pad, 0, wp - 2)
+    bidx = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None], (b, n))
+    starts = jnp.stack([bidx, yb, xb], axis=-1).reshape(b * n, 3)
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3),
+        collapsed_slice_dims=(0,),
+        start_index_map=(0, 1, 2),
+    )
+    patch = jax.lax.gather(
+        imgp, starts, dnums, slice_sizes=(1, 2, 2, c),
+        mode=jax.lax.GatherScatterMode.CLIP,
+    ).reshape(b, n, 2, 2, c)
+
+    # weight products in f32, cast at the final multiply — identical
+    # arithmetic to _grid_sample_packed/_base so dispatch never changes results
+    out = (
+        patch[:, :, 0, 0] * ((1 - wy) * (1 - wx))[..., None].astype(img.dtype)
+        + patch[:, :, 0, 1] * ((1 - wy) * wx)[..., None].astype(img.dtype)
+        + patch[:, :, 1, 0] * (wy * (1 - wx))[..., None].astype(img.dtype)
+        + patch[:, :, 1, 1] * (wy * wx)[..., None].astype(img.dtype)
+    )
+    return out.reshape(out_shape)
+
+
 def grid_sample(
     img: Array,
     grid: Array,
     align_corners: bool = False,
     padding_mode: str = "zeros",
+    impl: str = "auto",
 ) -> Array:
     """Sample `img` (B, H, W, C) at normalized xy `grid` (B, ..., 2).
 
     Returns (B, ..., C). grid[..., 0] is x in [-1, 1], grid[..., 1] is y.
     """
     assert padding_mode in ("zeros", "border")
-    if padding_mode == "zeros":
+    if impl == "patch" or (
+        impl == "auto"
+        and padding_mode == "zeros"
+        and jax.default_backend() in ("tpu", "axon")
+    ):
+        # patch-slice gather: fastest on TPU at every profiled warp shape and
+        # batch (scripts/profile_warp_r4.py); the pointwise-row forms hit a
+        # pathological gather regime at B >= 8 fine scales (5 GB/s).
+        return _grid_sample_patch(img, grid, align_corners)
+    if impl == "packed" or (impl == "auto" and padding_mode == "zeros"):
         b, h, w, c = img.shape
         n = grid.size // (2 * b)
         # Packed wins when gather rows dominate the one-off packing cost

@@ -103,9 +103,9 @@ def test_estimate_homography_batched(matcher):
 
 
 def test_batched_odd_batch_under_mesh(matcher):
-    """B % mesh.size != 0 serving: the batch is padded to a mesh multiple
-    (repeating the last pair), runs genuinely sharded, and outputs are
-    sliced back to B — same values as the unsharded path."""
+    """B % mesh.size != 0 (B > mesh) serving: the batch is padded to a mesh
+    multiple (repeating the last pair), runs genuinely sharded, and outputs
+    are sliced back to B — same values as the unsharded path."""
     from gfnet_tpu.parallel.mesh import create_mesh
 
     rng = np.random.default_rng(7)
@@ -116,8 +116,8 @@ def test_batched_odd_batch_under_mesh(matcher):
     sharded = GFNetMatcher(
         matcher.cfg, matcher.vit_params, matcher.head_vars, dtype=jnp.float32
     )
-    sharded.shard_for_mesh(create_mesh(8))
-    assert sharded._pad_to_mesh(3) == 5
+    sharded.shard_for_mesh(create_mesh(2))
+    assert sharded._pad_to_mesh(3) == 1
     w, c = sharded.match(imA, imB)
     assert w.shape == w_ref.shape and c.shape == c_ref.shape
     np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref), atol=2e-5)
@@ -125,6 +125,30 @@ def test_batched_odd_batch_under_mesh(matcher):
     Hs = sharded.estimate_homography_batched(imA, imB, num_matches=300)
     assert Hs.shape == (3, 3, 3)
     assert bool(jnp.all(jnp.isfinite(Hs)))
+
+
+def test_submesh_batch_uses_sharded_corr(matcher):
+    """B < mesh serving (latency mode): no padding; the coarse correlation
+    init runs grid-block-sharded over the mesh and must match the dense
+    path's output."""
+    from gfnet_tpu.parallel.mesh import create_mesh
+
+    rng = np.random.default_rng(8)
+    imA = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+    imB = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+    w_ref, c_ref = matcher.match(imA, imB)
+
+    sharded = GFNetMatcher(
+        matcher.cfg, matcher.vit_params, matcher.head_vars, dtype=jnp.float32
+    )
+    mesh = create_mesh(8)
+    sharded.shard_for_mesh(mesh)
+    assert sharded._pad_to_mesh(1) == 0
+    # symmetric pass1 has B'=2 < 8 and (coarse grid)^2 = 64 % 8 == 0
+    assert sharded.head._use_sharded_corr((2, 8, 8, 16))
+    w, c = sharded.match(imA, imB)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(c), np.asarray(c_ref), atol=2e-5)
 
 
 def test_match_deterministic(matcher):

@@ -35,6 +35,70 @@ def test_grid_sample_random(align_corners, padding_mode):
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("align_corners", [False, True])
+def test_grid_sample_patch_equals_base(align_corners):
+    """The patch-slice lowering (TPU default) must match the 4-gather base
+    exactly, including far out-of-range, exact-border, and non-finite points."""
+    import functools
+
+    import jax
+
+    from gfnet_tpu.ops.sampler import _grid_sample_base, _grid_sample_patch
+
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.standard_normal((2, 40, 30, 6)).astype(np.float32))
+    pts = rng.uniform(-1.8, 1.8, (2, 500, 2)).astype(np.float32)
+    pts[0, :3] = [[np.nan, 0.0], [np.inf, 0.5], [-np.inf, -np.inf]]
+    grid = jnp.asarray(pts)
+    base = _grid_sample_base(img, grid, align_corners, "zeros")
+    patch = _grid_sample_patch(img, grid, align_corners)
+    # non-finite coords: base propagates NaN, patch/packed map them to the
+    # zero margin — assert the guarded behavior, compare the rest exactly
+    np.testing.assert_array_equal(np.asarray(patch)[0, :3], 0.0)
+    np.testing.assert_allclose(
+        np.asarray(patch)[:, 3:], np.asarray(base)[:, 3:], atol=0
+    )
+    ref = _torch_grid_sample(
+        np.asarray(img), np.nan_to_num(pts[:, None], posinf=9.0, neginf=-9.0),
+        align_corners, "zeros",
+    )[:, 0]
+    np.testing.assert_allclose(np.asarray(patch)[:, 3:], ref[:, 3:],
+                               rtol=1e-4, atol=1e-5)
+
+    def loss(fn, i, g):
+        return jnp.sum(fn(i, g) ** 2)
+
+    grid_fin = jnp.asarray(pts[:, 3:])  # finite-only for the grad check
+    g_base = jax.grad(
+        functools.partial(
+            loss, lambda i, g: _grid_sample_base(i, g, align_corners, "zeros")
+        )
+    )(img, grid_fin)
+    g_patch = jax.grad(
+        functools.partial(
+            loss, lambda i, g: _grid_sample_patch(i, g, align_corners)
+        )
+    )(img, grid_fin)
+    np.testing.assert_allclose(np.asarray(g_patch), np.asarray(g_base),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_grid_sample_patch_bf16_matches_base():
+    from gfnet_tpu.ops.sampler import _grid_sample_base, _grid_sample_patch
+
+    rng = np.random.default_rng(8)
+    img = jnp.asarray(
+        rng.standard_normal((2, 16, 16, 4)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    grid = jnp.asarray(rng.uniform(-1.2, 1.2, (2, 77, 2)).astype(np.float32))
+    base = _grid_sample_base(img, grid, False, "zeros")
+    patch = _grid_sample_patch(img, grid, False)
+    assert patch.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(patch, np.float32), np.asarray(base, np.float32), atol=0
+    )
+
+
 def test_grid_sample_identity_grid_equals_input():
     """Sampling at the pixel-center grid reproduces the input exactly."""
     from gfnet_tpu.core.geometry import normalized_grid
