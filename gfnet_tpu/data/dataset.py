@@ -120,6 +120,11 @@ class HomographyDataset:
                 "googlemap_224x224": ["googlemap_1k_224x224_new", "googlemap_1k_224x224"],
                 "googlemap_672x672": ["googlemap_1k_672x672"],
                 "mscoco": ["mscoco_1k_448x448"],
+                # this engine's synthetic benchmark dirs (exact GT H; written
+                # by tools/make_synth_valdir.py in the same layout)
+                "synthetic": ["synth_1k_448x448"],
+                "synthetic_crossmodal": ["synth_1k_448x448_cm"],
+                "synthetic_tiny": ["synth_1k_112x112"],
             }[dataset]
             subdir = next(
                 (c for c in candidates if os.path.isdir(f"{data_path}/test/{c}")),

@@ -33,28 +33,66 @@ def make_texture(rng: np.random.Generator, size: int) -> np.ndarray:
     return img
 
 
+def modality_shift(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Photometric re-rendering of one view: channel permutation + per-channel
+    affine (contrast/brightness) + optional inversion + blur.
+
+    Geometry is untouched; appearance diverges the way the reference's
+    multimodal pairs do (RGB<->IR, map<->satellite,
+    `homography_dataset_large_size.py:59-80`) — so the cross-view decoder is
+    exercised under a real appearance gap, not same-texture matching."""
+    import cv2
+
+    out = img[..., rng.permutation(3)]
+    if rng.uniform() < 0.5:
+        out = 1.0 - out
+    gain = rng.uniform(0.6, 1.4, (1, 1, 3)).astype(np.float32)
+    bias = rng.uniform(-0.15, 0.15, (1, 1, 3)).astype(np.float32)
+    out = out * gain + bias
+    # channel mixing (grayscale-ish or sensor-crosstalk look)
+    if rng.uniform() < 0.5:
+        mix = rng.uniform(0, 1, (3, 3)).astype(np.float32)
+        mix /= mix.sum(axis=1, keepdims=True)
+        alpha = rng.uniform(0.3, 1.0)
+        out = (1 - alpha) * out + alpha * (out @ mix.T)
+    if rng.uniform() < 0.5:
+        sigma = rng.uniform(0.5, 1.5)
+        out = cv2.GaussianBlur(out, (0, 0), sigma)
+    return np.clip(out, 0.0, 1.0).astype(np.float32)
+
+
 def synth_pair(
     rng: np.random.Generator,
     res: int,
     deformation_ratio: float = 0.15,
     texture_size: int | None = None,
+    cross_modal: bool = False,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """One (im_src, im_tgt, H_s2t) sample at `res`, raw [0,1] images."""
+    """One (im_src, im_tgt, H_s2t) sample at `res`, raw [0,1] images.
+
+    cross_modal=True feeds a photometrically re-rendered copy of the texture
+    to the second view (appearance gap with exact shared geometry)."""
     tex = make_texture(rng, texture_size or (res + res // 2))
+    tex_b = modality_shift(tex, rng) if cross_modal else tex
     crop = int(res / (1 - deformation_ratio))
     return random_homography_pair(
-        tex, tex, crop_size=crop, input_hw=(res, res),
+        tex, tex_b, crop_size=crop, input_hw=(res, res),
         deformation_ratio=deformation_ratio, bi=True, rng=rng,
     )
 
 
 def train_batch(
-    rng: np.random.Generator, batch: int, res: int, deformation_ratio: float = 0.15
+    rng: np.random.Generator, batch: int, res: int, deformation_ratio: float = 0.15,
+    cross_modal_frac: float = 0.0,
 ) -> dict:
-    """Imagenet-normalized training batch (what train/step.py consumes)."""
+    """Imagenet-normalized training batch (what train/step.py consumes).
+
+    cross_modal_frac: probability a pair gets the modality-shifted second
+    view (the reference trains on mixed-modality lists; `train.py:71-95`)."""
     ims, imt, hs = [], [], []
     for _ in range(batch):
-        a, b, H = synth_pair(rng, res, deformation_ratio)
+        cm = rng.uniform() < cross_modal_frac
+        a, b, H = synth_pair(rng, res, deformation_ratio, cross_modal=cm)
         ims.append((a - IMAGENET_MEAN) / IMAGENET_STD)
         imt.append((b - IMAGENET_MEAN) / IMAGENET_STD)
         hs.append(H)
@@ -66,13 +104,14 @@ def train_batch(
 
 
 def eval_pairs(
-    n: int, res: int, deformation_ratio: float = 0.15, seed: int = 1234
+    n: int, res: int, deformation_ratio: float = 0.15, seed: int = 1234,
+    cross_modal: bool = False,
 ) -> list[dict]:
     """Fixed benchmark set of raw pairs with exact GT homographies."""
     rng = np.random.default_rng(seed)
     out = []
     for _ in range(n):
-        a, b, H = synth_pair(rng, res, deformation_ratio)
+        a, b, H = synth_pair(rng, res, deformation_ratio, cross_modal=cross_modal)
         out.append({"im_A": a, "im_B": b, "H_s2t": H})
     return out
 

@@ -27,6 +27,10 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--eval_pairs", type=int, default=24)
     p.add_argument("--deformation", type=float, default=0.15)
+    p.add_argument("--cross_modal_frac", type=float, default=0.0,
+                   help="fraction of training pairs with a modality-shifted "
+                   "second view (reference-style multimodal stream)")
+    p.add_argument("--eval_matches", type=int, default=2000)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log_every", type=int, default=20)
     # The reference hyperparams (lr=1e-4, clip=0.01) are tuned for a 250k-step
@@ -89,7 +93,9 @@ def main(argv=None):
         print(f"initialized head from {args.init_head}")
 
     bench = eval_pairs(args.eval_pairs, res, args.deformation)
-    mace0, _ = benchmark_mace(matcher, bench)
+    bench_cm = eval_pairs(args.eval_pairs, res, args.deformation,
+                          seed=4321, cross_modal=True)
+    mace0, _ = benchmark_mace(matcher, bench, num_matches=args.eval_matches)
     print(f"random-weight baseline MACE = {mace0:.2f} px over {len(bench)} pairs")
 
     if args.lr_per_sample is None:
@@ -109,11 +115,13 @@ def main(argv=None):
     from concurrent.futures import ThreadPoolExecutor
 
     pool = ThreadPoolExecutor(max_workers=1)
-    nxt = pool.submit(train_batch, rng, args.batch, res, args.deformation)
+    nxt = pool.submit(train_batch, rng, args.batch, res, args.deformation,
+                      args.cross_modal_frac)
     t0 = time.time()
     for i in range(args.steps):
         batch = nxt.result()
-        nxt = pool.submit(train_batch, rng, args.batch, res, args.deformation)
+        nxt = pool.submit(train_batch, rng, args.batch, res, args.deformation,
+                          args.cross_modal_frac)
         state, metrics = step(state, matcher.vit_params, batch)
         if (i + 1) % args.log_every == 0:
             pck = {k: float(v) for k, v in metrics.items() if "pck" in k}
@@ -136,14 +144,31 @@ def main(argv=None):
         }
         np.savez(args.save_head, **flat)
         print(f"saved trained head to {args.save_head}")
-    mace1, errors = benchmark_mace(matcher, bench)
-    print(f"trained MACE = {mace1:.2f} px (baseline {mace0:.2f})")
+    from gfnet_tpu.eval.benchmark import auc
+
+    mace1, errors = benchmark_mace(matcher, bench, num_matches=args.eval_matches)
+    mace_cm, errors_cm = benchmark_mace(matcher, bench_cm,
+                                        num_matches=args.eval_matches)
+    ths = (3, 5, 10, 20)
+    aucs = dict(zip((f"auc@{t}" for t in ths), auc(errors, ths)))
+    aucs_cm = dict(zip((f"auc@{t}" for t in ths), auc(errors_cm, ths)))
+    print(f"trained MACE = {mace1:.2f} px (baseline {mace0:.2f}); "
+          f"cross-modal MACE = {mace_cm:.2f}")
+    print(f"AUC same-modal {aucs}  cross-modal {aucs_cm}")
     result = {
         "steps": args.steps,
         "batch": args.batch,
+        "deformation": args.deformation,
+        "cross_modal_frac": args.cross_modal_frac,
+        "eval_pairs": args.eval_pairs,
+        "eval_matches": args.eval_matches,
         "mace_random": mace0,
         "mace_trained": mace1,
+        "mace_trained_crossmodal": mace_cm,
+        "auc": aucs,
+        "auc_crossmodal": aucs_cm,
         "errors": errors,
+        "errors_crossmodal": errors_cm,
         "seconds": time.time() - t0,
     }
     if args.out:

@@ -12,11 +12,11 @@ LOOP = 8
 
 
 def bench(fn, args, iters=3):
-    out = jax.jit(fn)(*args)
-    np.asarray(out[0, 0, 0, 0])
+    jf = jax.jit(fn)
+    np.asarray(jf(*args)[0, 0, 0, 0])
     t0 = time.perf_counter()
     for _ in range(iters):
-        np.asarray(jax.jit(fn)(*args)[0, 0, 0, 0])
+        np.asarray(jf(*args)[0, 0, 0, 0])
     return (time.perf_counter() - t0) / iters
 
 

@@ -1,5 +1,6 @@
 """Data pipeline tests: the synthesized H must actually map source→target."""
 
+import os
 import numpy as np
 import pytest
 
@@ -63,3 +64,53 @@ def test_synth_upscales_small_images():
     )
     assert src.shape == (224, 224, 3)
     assert np.all(np.isfinite(H))
+
+
+def test_synth_valdir_roundtrip(tmp_path):
+    """tools/make_synth_valdir.py writes the reference val layout; loading it
+    through HomographyDataset returns the exact GT H and the images up to
+    uint8 quantization — so cli/test.py evaluates against true homographies."""
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    from gfnet_tpu.data.dataset import HomographyDataset
+    from gfnet_tpu.eval.synthetic import eval_pairs
+
+    r = subprocess.run(
+        [sys.executable, "tools/make_synth_valdir.py", "--n", "3", "--res", "112",
+         "--deformation", "0.3", "--out", str(tmp_path),
+         "--name", "synth_1k_112x112"],
+        capture_output=True, text=True,
+        env={"PYTHONPATH": "/root/repo", "PATH": os.environ.get("PATH", ""),
+             "JAX_PLATFORMS": "cpu"},
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    pairs = eval_pairs(3, 112, 0.3, seed=1234)
+    ds = HomographyDataset(dataset="synthetic_tiny", mode="val",
+                           data_path=str(tmp_path), input_resolution=(112, 112))
+    assert len(ds) == 3
+    for i in range(3):
+        s = ds[i]
+        np.testing.assert_allclose(
+            s["H_s2t"] / s["H_s2t"][2, 2],
+            pairs[i]["H_s2t"] / pairs[i]["H_s2t"][2, 2], atol=1e-6,
+        )
+        assert np.abs(s["im_A"] - pairs[i]["im_A"]).max() < 3 / 255
+        assert np.abs(s["im_B"] - pairs[i]["im_B"]).max() < 3 / 255
+
+
+def test_modality_shift_changes_appearance_not_geometry():
+    import numpy as np
+
+    from gfnet_tpu.eval.synthetic import make_texture, modality_shift
+
+    rng = np.random.default_rng(0)
+    tex = make_texture(rng, 64)
+    shifted = modality_shift(tex, rng)
+    assert shifted.shape == tex.shape
+    assert shifted.dtype == np.float32
+    assert float(np.abs(shifted - tex).mean()) > 0.02  # real appearance gap
+    assert shifted.min() >= 0.0 and shifted.max() <= 1.0
