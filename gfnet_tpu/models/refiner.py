@@ -300,42 +300,6 @@ class ConvRefiner(nn.Module):
             return True
         return g >= 128 and self.hidden_dim <= 96
 
-    def _fused_mode(self, d_shape, train: bool) -> str:
-        """Dispatch mode for the fused Pallas block stack
-        (ops/pallas/refine_stack.py): "hidden" | "full" | "off".
-
-        Default is OFF (override with GFNET_REFINE_STACK=hidden|full): the
-        kernel beats the flax chain standalone (2.6 vs 9.1 ms at
-        (2,320,320,24) on v5e) but does NOT win inside the full pass — XLA
-        fuses the concat front-end directly into block1's shift-accumulate,
-        and even the hidden-only variant (block1 left to XLA) pays more in
-        boundary relayout than it saves (interleaved A/B
-        scripts/ab_round3.py, 2026-08-20: pass1 32.9 ms off vs 34.9 ms
-        hidden; pass2 52.4 vs 52.8). Kept as a capability for standalone /
-        serving uses of the stack and future compilers where the trade may
-        flip. Training always uses the flax path (batch-stat reductions +
-        XLA backward)."""
-        if train:
-            return "off"
-        mode = os.environ.get("GFNET_REFINE_STACK")
-        if mode is None and os.environ.get("GFNET_FUSED_REFINER") == "1":
-            mode = "full"  # legacy flag; an explicit GFNET_REFINE_STACK wins
-        if mode is None:
-            mode = "off"
-        if mode not in ("hidden", "full"):
-            return "off"
-        if jax.default_backend() not in ("tpu", "axon"):
-            return "off"
-        if self.is_initializing():
-            return "off"
-        from gfnet_tpu.ops.pallas.refine_stack import fused_stack_supported
-
-        ok = fused_stack_supported(
-            tuple(d_shape), store_dtype=self.dtype, ksize=self.kernel_size,
-            include_block1=(mode == "full"),
-        )
-        return mode if ok else "off"
-
     @nn.compact
     def __call__(
         self,
@@ -409,38 +373,13 @@ class ConvRefiner(nn.Module):
             out = depth_to_space(out.astype(jnp.float32))
             return out[..., :2], out[..., 2:3]
 
-        mode = self._fused_mode(d.shape, train)
-        if mode == "full":
-            # Whole block1 + hidden stack + out_conv as channels-in-sublane
-            # Pallas kernels with BN folded (see ops/pallas/refine_stack.py).
-            from gfnet_tpu.ops.pallas.refine_stack import fused_refine_stack
-
-            v = self.variables
-            return fused_refine_stack(
-                d,  # already in the compute dtype; the kernel casts/pads
-                v["params"],
-                v["batch_stats"],
-                hidden_blocks=self.hidden_blocks,
-                ksize=self.kernel_size,
-                store_dtype=dt,
-            )
-
+        # The fused Pallas refine-stack kernel (git history: ops/pallas/
+        # refine_stack.py, removed 2026-08-20) lost its in-context A/B twice —
+        # XLA fuses the concat front-end into block1's taps, and the kernel's
+        # boundary relayouts cost more than its VMEM residency saved
+        # (scripts/ab_round3.py). The space-to-depth path above is the
+        # winning fix for the same lane-padding problem.
         d = RefineBlock(self.hidden_dim, self.kernel_size, dtype=dt, name="block1")(d, train)
-        if mode == "hidden":
-            # block1 in XLA (keeps the concat fused into its dw taps), the
-            # 8 hidden blocks + out_conv as one VMEM-resident Pallas kernel.
-            from gfnet_tpu.ops.pallas.refine_stack import fused_refine_stack
-
-            v = self.variables
-            return fused_refine_stack(
-                d,
-                v["params"],
-                v["batch_stats"],
-                hidden_blocks=self.hidden_blocks,
-                ksize=self.kernel_size,
-                store_dtype=dt,
-                include_block1=False,
-            )
         # Training remats each hidden block: the scan otherwise stacks all 8
         # residual activations for backward, and XLA's (8,128)-tiled layout
         # pads the small channel counts up to 5.3x — at the flagship train
