@@ -32,6 +32,7 @@ def make_train_step(
     symmetric: bool = False,
     fsdp_vit: bool = False,
     fsdp_min_size: int = 2**16,
+    freeze: tuple[str, ...] = (),
 ) -> Callable[[TrainState, Any, dict], tuple[TrainState, dict]]:
     """Build the jitted train step.
 
@@ -69,6 +70,19 @@ def make_train_step(
         (l, (metrics, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
+        if freeze:
+            # Zero the grads of frozen top-level modules so the global-norm
+            # clip reflects only the learners. Used by the synthetic-proxy
+            # fine-tune: with a RANDOM frozen backbone the cross-view block's
+            # un-normalized k/v (ref `block.py:322-328`) produce 1e10+ grad
+            # spikes the reference never sees (it trains from pretrained
+            # DINOv2, whose feature scale is benign) — freezing it keeps the
+            # clip direction meaningful. AdamW's decoupled weight decay still
+            # shrinks frozen params by lr*wd per step (~5e-7), negligible.
+            grads = {
+                k: jax.tree_util.tree_map(jnp.zeros_like, v) if k in freeze else v
+                for k, v in grads.items()
+            }
         metrics["grad_norm"] = optax.global_norm(grads)
         metrics["param_norm"] = optax.global_norm(state.params)
         if os.environ.get("GFNET_GRAD_BREAKDOWN") == "1":

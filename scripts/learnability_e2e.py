@@ -55,6 +55,10 @@ def main(argv=None):
                    "basic.json architecture; run on TPU)")
     p.add_argument("--dtype", choices=["f32", "bf16"], default=None,
                    help="compute dtype (default: f32 tiny, bf16 flagship)")
+    p.add_argument("--freeze", type=str, default="",
+                   help="comma-separated top-level head modules whose grads "
+                   "are zeroed (e.g. 'crossview': with a random backbone its "
+                   "un-normalized k/v explode, drowning the global clip)")
     args = p.parse_args(argv)
 
     import os
@@ -106,22 +110,32 @@ def main(argv=None):
         grad_clip_norm=args.grad_clip, lr_per_sample=args.lr_per_sample
     )
     loss = RobustLoss(im_size=res)
-    step = make_train_step(matcher, loss, mesh=None)
+    freeze = tuple(m for m in args.freeze.split(",") if m)
+    step = make_train_step(matcher, loss, mesh=None, freeze=freeze)
     state = create_train_state(matcher.head_vars, tcfg, global_batch=args.batch)
     rng = np.random.default_rng(args.seed + 1)
 
-    # One-deep host prefetch: synth of batch i+1 overlaps the device step on
-    # batch i (flagship batch synthesis is ~1s on this host).
+    # Multi-worker host prefetch: flagship batch synthesis (textures + warps,
+    # cv2/numpy so the GIL is mostly released) costs ~1s/batch on a quiet
+    # host and dominates the 0.9s device step when single-threaded; a 4-deep
+    # pipeline keeps the TPU step the critical path. Each submission gets its
+    # own child generator so the sample stream stays deterministic regardless
+    # of worker completion order.
     from concurrent.futures import ThreadPoolExecutor
 
-    pool = ThreadPoolExecutor(max_workers=1)
-    nxt = pool.submit(train_batch, rng, args.batch, res, args.deformation,
-                      args.cross_modal_frac)
+    depth = int(os.environ.get("GFNET_SYNTH_WORKERS", "4"))
+    pool = ThreadPoolExecutor(max_workers=depth)
+    submit = lambda: pool.submit(
+        train_batch, np.random.default_rng(rng.integers(2**63)),
+        args.batch, res, args.deformation, args.cross_modal_frac,
+    )
+    from collections import deque
+
+    queue = deque(submit() for _ in range(depth))
     t0 = time.time()
     for i in range(args.steps):
-        batch = nxt.result()
-        nxt = pool.submit(train_batch, rng, args.batch, res, args.deformation,
-                          args.cross_modal_frac)
+        batch = queue.popleft().result()
+        queue.append(submit())
         state, metrics = step(state, matcher.vit_params, batch)
         if (i + 1) % args.log_every == 0:
             pck = {k: float(v) for k, v in metrics.items() if "pck" in k}
