@@ -178,3 +178,29 @@ def test_fsdp_vit_sharded_step(harness):
     batch = shard_batch(mesh, _fake_batch(cfg, seed=7))
     new_state, metrics = step(state, vit_sharded, batch)
     assert np.isfinite(float(metrics["total_loss"]))
+
+
+def test_freeze_zeroes_module_grads(setup):
+    """make_train_step(freeze=...) pins the listed top-level modules: their
+    params stay put (up to AdamW's decoupled lr*wd decay, ~5e-7/step) while
+    every other module still learns. Guards the synthetic-proxy recipe that
+    freezes the cross-view block (its grads explode under a random backbone,
+    see train/step.py)."""
+    cfg, matcher, mesh, state, _ = setup
+    loss = RobustLoss(im_size=cfg.initial_res[0])
+    fstep = make_train_step(matcher, loss, mesh, freeze=("crossview",))
+    batch = shard_batch(mesh, _fake_batch(cfg))
+    old = jax.tree_util.tree_map(np.asarray, state.params)
+    new_state, metrics = fstep(state, matcher.vit_params, batch)
+    assert float(metrics["grad_norm"]) > 0  # the rest still has gradient
+    drift = jax.tree_util.tree_map(
+        lambda a, b: float(np.max(np.abs(a - np.asarray(b)))),
+        old["crossview"], new_state.params["crossview"],
+    )
+    assert max(jax.tree_util.tree_leaves(drift)) < 1e-5
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(np.max(np.abs(a - np.asarray(b)))),
+        {k: v for k, v in old.items() if k != "crossview"},
+        {k: v for k, v in dict(new_state.params).items() if k != "crossview"},
+    )
+    assert max(jax.tree_util.tree_leaves(moved)) > 0
