@@ -32,6 +32,20 @@ import numpy as np
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
 
 
+def _retry_compile(thunk, tries: int = 3):
+    """The remote-compile tunnel occasionally drops a response mid-body
+    ("response body closed before all bytes were read") on big programs; the
+    compile itself is fine on retry (server-side cache warm). Retry the
+    compile-triggering call instead of failing the whole bench."""
+    for attempt in range(tries):
+        try:
+            return thunk()
+        except Exception:  # noqa: BLE001 - jax wraps the tunnel error opaquely
+            if attempt == tries - 1:
+                raise
+            time.sleep(5.0)
+
+
 def _timeit(fn, sync, iters):
     t0 = time.perf_counter()
     out = None
@@ -92,7 +106,7 @@ def main():
             im_a, im_b, num_matches=5000, key=jax.random.PRNGKey(i)
         )
 
-    sync(one_pair(0))  # compile
+    _retry_compile(lambda: sync(one_pair(0)))  # compile
     rt0 = _measure_roundtrip()
     dt_single = _timeit_fetch(one_pair, lambda H: H, iters, rt0)
     pairs_per_s = 1.0 / dt_single
@@ -106,12 +120,18 @@ def main():
         jnp.asarray((np.asarray(im_a) + 1e-4 * j).clip(0, 1)[None]) for j in range(iters)
     ]
     b1 = im_b[None]
-    p1 = matcher._pass1_jit(hv, vp, variants_a[0], b1)
+    p1 = _retry_compile(lambda: matcher._pass1_jit(hv, vp, variants_a[0], b1))
     sync(p1)
-    warp, cert = matcher._pass2_jit(hv, vp, variants_a[0], b1, *p1)
+    warp, cert = _retry_compile(
+        lambda: matcher._pass2_jit(hv, vp, variants_a[0], b1, *p1)
+    )
     sync((warp, cert))
     hw = (448, 448)
-    ss = matcher._sample_solve_batched_jit(warp, cert, 5000, jax.random.PRNGKey(0), hw, hw)
+    ss = _retry_compile(
+        lambda: matcher._sample_solve_batched_jit(
+            warp, cert, 5000, jax.random.PRNGKey(0), hw, hw
+        )
+    )
     sync(ss)
     rt = _measure_roundtrip()
     t_pass1 = _timeit_fetch(
@@ -148,7 +168,7 @@ def main():
             im_ab_v[i % n_bat], im_bb, num_matches=5000, key=jax.random.PRNGKey(i)
         )
 
-    sync(batched(0))  # compile
+    _retry_compile(lambda: sync(batched(0)))  # compile
     dt_batched = _timeit_fetch(batched, lambda Hs: Hs[0], n_bat, rt0)
     batched_pairs_per_s = bsz / dt_batched
 
