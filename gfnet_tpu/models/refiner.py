@@ -313,7 +313,14 @@ class ConvRefiner(nn.Module):
         dt = self.dtype
 
         # Warp target features to the query grid by the current flow.
-        x_hat = grid_sample(target_feat.astype(dt), flow)
+        # Training defaults to the packed lowering: the patch-slice gather's
+        # VJP is a per-point slice-scatter, while packed transposes to a
+        # take_along_axis scatter on the 4C-packed map (the round-3 training
+        # path). Inference keeps the patch dispatch (fastest forward).
+        warp_impl = os.environ.get(
+            "GFNET_TRAIN_WARP", "packed" if train else "auto"
+        )
+        x_hat = grid_sample(target_feat.astype(dt), flow, impl=warp_impl)
         # Query features at the regular grid = separable bilinear resize.
         grid_feature = interpolate(query_feat.astype(dt), (g, g), "bilinear", False)
 
