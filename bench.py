@@ -120,19 +120,20 @@ def main():
         jnp.asarray((np.asarray(im_a) + 1e-4 * j).clip(0, 1)[None]) for j in range(iters)
     ]
     b1 = im_b[None]
-    p1 = _retry_compile(lambda: matcher._pass1_jit(hv, vp, variants_a[0], b1))
-    sync(p1)
+    # wrap the call+sync pair together: a tunnel drop can surface during the
+    # blocking fetch rather than at synchronous compile time
+    p1 = _retry_compile(lambda: sync(matcher._pass1_jit(hv, vp, variants_a[0], b1)))
     warp, cert = _retry_compile(
-        lambda: matcher._pass2_jit(hv, vp, variants_a[0], b1, *p1)
+        lambda: sync(matcher._pass2_jit(hv, vp, variants_a[0], b1, *p1))
     )
-    sync((warp, cert))
     hw = (448, 448)
-    ss = _retry_compile(
-        lambda: matcher._sample_solve_batched_jit(
-            warp, cert, 5000, jax.random.PRNGKey(0), hw, hw
+    _retry_compile(
+        lambda: sync(
+            matcher._sample_solve_batched_jit(
+                warp, cert, 5000, jax.random.PRNGKey(0), hw, hw
+            )
         )
     )
-    sync(ss)
     rt = _measure_roundtrip()
     t_pass1 = _timeit_fetch(
         lambda i: matcher._pass1_jit(hv, vp, variants_a[i], b1),

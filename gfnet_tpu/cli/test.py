@@ -25,6 +25,10 @@ def main(argv=None):
                         default=os.environ.get("DINOV2_NPZ", "weights/dinov2_vitl14.npz"))
     parser.add_argument("--tiny", action="store_true",
                         help="debug: tiny architecture + CPU-friendly sizes")
+    parser.add_argument("--batch", type=int, default=None,
+                        help="evaluate pairs in batches of B through the "
+                             "3-dispatch batched path (default: the "
+                             "reference's serial per-pair protocol)")
     args, _ = parser.parse_known_args(argv)
 
     from gfnet_tpu.config import ModelConfig
@@ -40,7 +44,9 @@ def main(argv=None):
         res = cfg.initial_res[0]
     else:
         cfg = ModelConfig.from_json(args.conf_path) if args.conf_path else ModelConfig()
-        res = {"googlemap_224x224": 224, "googlemap_672x672": 672}.get(args.dataset, 448)
+        res = {"googlemap_224x224": 224, "googlemap_672x672": 672}.get(
+            args.dataset, cfg.initial_res[0]
+        )
     # eval always runs symmetric + two-pass upsampling (ref `test.py:25-30`)
     cfg = cfg.replace(symmetric=True, upsample_preds=True, attenuate_cert=True)
 
@@ -62,7 +68,9 @@ def main(argv=None):
         dataset=ds_name, mode="val", data_path=args.data_path, input_resolution=(res, res)
     )
     bench = HomographyBenchmark(dataset)
-    results = bench.run(matcher, max_pairs=args.max_pairs, verbose=True)
+    results = bench.run(
+        matcher, max_pairs=args.max_pairs, verbose=True, batch_size=args.batch
+    )
     print(json.dumps(results, indent=2))
     return results
 

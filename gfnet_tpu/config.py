@@ -106,7 +106,19 @@ class ModelConfig:
             post_norm=dec.get("post_norm", False),
             pre_norm_query=dec.get("pre_norm_query", True),
         )
-        dino = DinoConfig(d_model=dcfg.get("d_model", 1024), decoder_cfg=decoder)
+        # depth/num_heads/... are OUR extension keys: reference JSONs carry
+        # only d_model + decoder_cfg (gfnet_configs/basic.json), so loading
+        # them verbatim keeps the ViT-L defaults; extended JSONs can express
+        # small architectures for tests/CI without code changes.
+        dino = DinoConfig(
+            d_model=dcfg.get("d_model", 1024),
+            depth=dcfg.get("depth", 24),
+            num_heads=dcfg.get("num_heads", 16),
+            patch_size=dcfg.get("patch_size", 14),
+            pos_embed_size=dcfg.get("pos_embed_size", 37),
+            ffn_layer=dcfg.get("ffn_layer", "mlp"),
+            decoder_cfg=decoder,
+        )
         enc = EncoderConfig(feat_chs=tuple(raw.get("encoder_cfg", {}).get("feat_chs", (64, 32, 16, 8))))
         m = raw.get("matcher", {})
         matcher = MatcherConfig(
@@ -115,7 +127,14 @@ class ModelConfig:
             displacement_dim=tuple(m.get("displacement_dim", (64, 64, 32, 16, 8))),
             num_itr=tuple(m.get("num_itr", (1, 1, 1, 1, 1))),
         )
-        cfg = ModelConfig(dino=dino, encoder=enc, matcher=matcher)
+        extra = {}
+        for k in ("initial_res", "upsample_res"):
+            if k in raw:
+                extra[k] = tuple(raw[k])
+        for k in ("symmetric", "upsample_preds", "attenuate_cert"):
+            if k in raw:
+                extra[k] = raw[k]
+        cfg = ModelConfig(dino=dino, encoder=enc, matcher=matcher, **extra)
         if overrides:
             cfg = dataclasses.replace(cfg, **overrides)
         return cfg

@@ -317,8 +317,8 @@ class ConvRefiner(nn.Module):
         # VJP is a per-point slice-scatter, while packed transposes to a
         # take_along_axis scatter on the 4C-packed map (the round-3 training
         # path). Inference keeps the patch dispatch (fastest forward).
-        warp_impl = os.environ.get(
-            "GFNET_TRAIN_WARP", "packed" if train else "auto"
+        warp_impl = (
+            os.environ.get("GFNET_TRAIN_WARP", "packed") if train else "auto"
         )
         x_hat = grid_sample(target_feat.astype(dt), flow, impl=warp_impl)
         # Query features at the regular grid = separable bilinear resize.

@@ -72,9 +72,15 @@ def corr_volume_flow_sharded(feat0: Array, feat1: Array, mesh, axis: str = "data
         s, e   = Σ_local exp(corr - M) · {1, grid_j}
         flow   = psum(e) / psum(s)                          (lax.psum over ICI)
 
-    Per-device score memory drops d-fold; results match the dense
-    `corr_volume_flow` elementwise (tested on the 8-device CPU mesh). Query
-    features are replicated (they are small: N0 x C).
+    Scope of the memory win (measured, workspace/sharded_corr_scope.json):
+    the corr-init PROGRAM's per-device temp drops exactly d-fold at every
+    grid size (8x on an 8-mesh at G=32..128). Inside the flagship two-pass
+    pipeline, though, the G=32 score matrix (4 MB) is nowhere near the
+    dominant temp, so the whole-program per-device drop is ~17% (1.30 vs
+    1.56 GB, MULTICHIP_r04.json) — the d-fold headline applies to
+    large-grid/single-pass configs where the quartic score term dominates.
+    Results match the dense `corr_volume_flow` elementwise (tested on the
+    8-device CPU mesh). Query features are replicated (small: N0 x C).
 
     jit-friendly: sharding is expressed with with_sharding_constraint +
     shard_map, so the whole thing can live inside the matcher's pass1

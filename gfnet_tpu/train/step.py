@@ -48,6 +48,11 @@ def make_train_step(
     patch = matcher.cfg.dino.patch_size
 
     def step_fn(state: TrainState, vit_params, batch):
+        # trace-time guard: a typo'd freeze name would silently freeze
+        # nothing and re-admit the exploding-gradient regime the flag exists
+        # to prevent — fail at compile instead
+        unknown = set(freeze) - set(state.params.keys())
+        assert not unknown, f"freeze names not in params: {sorted(unknown)}"
         im_a, im_b, H_s2t = batch["im_A"], batch["im_B"], batch["H_s2t"]
         x = jnp.concatenate([im_a, im_b], axis=0)
         tokens = jax.lax.stop_gradient(vit.apply(vit_params, x))
@@ -70,6 +75,13 @@ def make_train_step(
         (l, (metrics, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
         )
+        # NaN/Inf-gradient telemetry (ref `trainer/train.py:21-25`) — from the
+        # PRE-freeze grads, so backbone-induced blowups inside a frozen module
+        # (the documented crossview 1e10+ spikes) stay observable
+        metrics["nonfinite_grad_leaves"] = sum(
+            jnp.any(~jnp.isfinite(g)).astype(jnp.int32)
+            for g in jax.tree_util.tree_leaves(grads)
+        )
         if freeze:
             # Zero the grads of frozen top-level modules so the global-norm
             # clip reflects only the learners. Used by the synthetic-proxy
@@ -90,11 +102,6 @@ def make_train_step(
             # explosion comes from (diagnostic; a handful of extra reductions)
             for k, sub in grads.items():
                 metrics[f"gnorm/{k}"] = optax.global_norm(sub)
-        # NaN/Inf-gradient telemetry (ref `trainer/train.py:21-25`)
-        metrics["nonfinite_grad_leaves"] = sum(
-            jnp.any(~jnp.isfinite(g)).astype(jnp.int32)
-            for g in jax.tree_util.tree_leaves(grads)
-        )
         new_state = state.apply_gradients(grads, new_bs)
         return new_state, metrics
 
