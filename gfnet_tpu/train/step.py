@@ -33,6 +33,7 @@ def make_train_step(
     fsdp_vit: bool = False,
     fsdp_min_size: int = 2**16,
     freeze: tuple[str, ...] = (),
+    module_clip: dict[str, float] | None = None,
 ) -> Callable[[TrainState, Any, dict], tuple[TrainState, dict]]:
     """Build the jitted train step.
 
@@ -48,11 +49,11 @@ def make_train_step(
     patch = matcher.cfg.dino.patch_size
 
     def step_fn(state: TrainState, vit_params, batch):
-        # trace-time guard: a typo'd freeze name would silently freeze
-        # nothing and re-admit the exploding-gradient regime the flag exists
-        # to prevent — fail at compile instead
-        unknown = set(freeze) - set(state.params.keys())
-        assert not unknown, f"freeze names not in params: {sorted(unknown)}"
+        # trace-time guard: a typo'd freeze/module_clip name would silently
+        # do nothing and re-admit the exploding-gradient regime the flags
+        # exist to prevent — fail at compile instead
+        unknown = (set(freeze) | set(module_clip or ())) - set(state.params.keys())
+        assert not unknown, f"freeze/module_clip names not in params: {sorted(unknown)}"
         im_a, im_b, H_s2t = batch["im_A"], batch["im_B"], batch["H_s2t"]
         x = jnp.concatenate([im_a, im_b], axis=0)
         tokens = jax.lax.stop_gradient(vit.apply(vit_params, x))
@@ -82,6 +83,25 @@ def make_train_step(
             jnp.any(~jnp.isfinite(g)).astype(jnp.int32)
             for g in jax.tree_util.tree_leaves(grads)
         )
+        if module_clip:
+            # Per-module gradient clipping, applied BEFORE the recipe's
+            # global clip: with a random frozen backbone the cross-view
+            # decoder's un-normalized k/v (ref `block.py:322-328`) spike to
+            # 1e10+ grad norms, and a single global clip then renormalizes
+            # the whole update onto the garbage direction. Capping the
+            # offending module's subtree first keeps (a) the other modules'
+            # directions intact under the global clip and (b) AdamW's second
+            # moments for the module finite — so it can keep LEARNING under
+            # appearance gaps instead of being frozen out (VERDICT r4 #3).
+            def clip_subtree(sub, cap):
+                norm = optax.global_norm(sub)
+                scale = jnp.minimum(1.0, cap / (norm + 1e-16))
+                return jax.tree_util.tree_map(lambda g: g * scale, sub)
+
+            grads = {
+                k: clip_subtree(v, module_clip[k]) if k in module_clip else v
+                for k, v in grads.items()
+            }
         if freeze:
             # Zero the grads of frozen top-level modules so the global-norm
             # clip reflects only the learners. Used by the synthetic-proxy

@@ -59,6 +59,11 @@ def main(argv=None):
                    help="comma-separated top-level head modules whose grads "
                    "are zeroed (e.g. 'crossview': with a random backbone its "
                    "un-normalized k/v explode, drowning the global clip)")
+    p.add_argument("--module_clip", type=str, default="",
+                   help="per-module grad-norm caps applied before the global "
+                   "clip, 'name=cap,name=cap' (e.g. 'crossview=0.02'): lets "
+                   "an explosion-prone module keep learning without its "
+                   "spikes dominating the global clip direction)")
     args = p.parse_args(argv)
 
     import os
@@ -111,7 +116,12 @@ def main(argv=None):
     )
     loss = RobustLoss(im_size=res)
     freeze = tuple(m for m in args.freeze.split(",") if m)
-    step = make_train_step(matcher, loss, mesh=None, freeze=freeze)
+    module_clip = {
+        kv.split("=")[0]: float(kv.split("=")[1])
+        for kv in args.module_clip.split(",") if kv
+    }
+    step = make_train_step(matcher, loss, mesh=None, freeze=freeze,
+                           module_clip=module_clip or None)
     state = create_train_state(matcher.head_vars, tcfg, global_batch=args.batch)
     rng = np.random.default_rng(args.seed + 1)
 

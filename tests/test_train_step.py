@@ -180,6 +180,39 @@ def test_fsdp_vit_sharded_step(harness):
     assert np.isfinite(float(metrics["total_loss"]))
 
 
+def test_module_clip_caps_subtree_without_freezing(setup, monkeypatch):
+    """make_train_step(module_clip={...}) caps the named module's grad-norm
+    contribution BEFORE the global clip while leaving it trainable — the
+    stabilized recipe that lets the cross-view decoder learn appearance
+    invariance instead of being frozen out (VERDICT r4 #3)."""
+    monkeypatch.setenv("GFNET_GRAD_BREAKDOWN", "1")
+    cfg, matcher, mesh, state, _ = setup
+    loss = RobustLoss(im_size=cfg.initial_res[0])
+    cap = 1e-4
+    cstep = make_train_step(matcher, loss, mesh, module_clip={"crossview": cap})
+    batch = shard_batch(mesh, _fake_batch(cfg))
+    old = jax.tree_util.tree_map(np.asarray, state.params)
+    new_state, metrics = cstep(state, matcher.vit_params, batch)
+    # the capped subtree's (post-clip) norm respects the cap...
+    assert float(metrics["gnorm/crossview"]) <= cap * (1 + 1e-4)
+    # ...other modules' grads are untouched by it
+    assert float(metrics["gnorm/encoder"]) > cap
+    # ...and crossview still LEARNS (moved more than AdamW's wd-only decay)
+    drift = jax.tree_util.tree_map(
+        lambda a, b: float(np.max(np.abs(a - np.asarray(b)))),
+        old["crossview"], new_state.params["crossview"],
+    )
+    assert max(jax.tree_util.tree_leaves(drift)) > 1e-5
+
+
+def test_module_clip_typo_fails_fast(setup):
+    cfg, matcher, mesh, state, _ = setup
+    loss = RobustLoss(im_size=cfg.initial_res[0])
+    bad = make_train_step(matcher, loss, mesh, module_clip={"cross_view": 1.0})
+    with pytest.raises(AssertionError, match="cross_view"):
+        bad(state, matcher.vit_params, shard_batch(mesh, _fake_batch(cfg)))
+
+
 def test_freeze_zeroes_module_grads(setup):
     """make_train_step(freeze=...) pins the listed top-level modules: their
     params stay put (up to AdamW's decoupled lr*wd decay, ~5e-7/step) while
