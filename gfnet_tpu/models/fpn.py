@@ -18,8 +18,48 @@ from flax import linen as nn
 
 from gfnet_tpu.models.common import swish, torch_uniform_init
 from gfnet_tpu.ops.resize import interpolate
+from gfnet_tpu.ops.s2d import depth_to_space_n, expand_dense_kernel, space_to_depth_n
 
 Array = jax.Array
+
+
+class TorchConv(nn.Module):
+    """Conv with nn.Conv's exact param layout ((K,K,I,O) HWIO kernel +
+    optional (O,) bias) and torch-style symmetric K//2 padding, plus an
+    optional space-to-depth execution mode: `s2d=(p_in, p_out)` consumes a
+    phase-packed input and emits a phase-packed output via the
+    zero-structured expanded kernel (ops/s2d.py) — identical math on a
+    p-times-smaller, lane-filling layout."""
+
+    features: int
+    kernel: int
+    stride: int = 1
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: Array, s2d: tuple[int, int] | None = None) -> Array:
+        k = self.kernel
+        in_feat = x.shape[-1] if s2d is None else x.shape[-1] // s2d[0] ** 2
+        kernel = self.param("kernel", torch_uniform_init(), (k, k, in_feat, self.features))
+        bias = (
+            self.param("bias", nn.initializers.zeros_init(), (self.features,))
+            if self.use_bias else None
+        )
+        if s2d is None:
+            w, strides, pad = kernel, (self.stride, self.stride), k // 2
+        else:
+            p_in, p_out = s2d
+            w = expand_dense_kernel(kernel, p_in, p_out, self.stride)
+            strides, pad = (1, 1), 1
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w.astype(self.dtype), strides,
+            [(pad, pad), (pad, pad)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if bias is not None:
+            b = bias if s2d is None else jnp.tile(bias, s2d[1] ** 2)
+            y = y + b.astype(y.dtype)
+        return y
 
 
 class ConvBNAct(nn.Module):
@@ -38,27 +78,23 @@ class ConvBNAct(nn.Module):
     conv_bias: bool | None = None
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = False) -> Array:
-        p = self.kernel // 2
+    def __call__(
+        self, x: Array, train: bool = False, s2d: tuple[int, int] | None = None
+    ) -> Array:
+        from gfnet_tpu.models.refiner import PhaseBN
+
         use_bias = (not self.use_bn) if self.conv_bias is None else self.conv_bias
-        x = nn.Conv(
-            self.features,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding=[(p, p), (p, p)],
-            use_bias=use_bias,
-            kernel_init=torch_uniform_init(),
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        x = TorchConv(
+            self.features, self.kernel, self.stride, use_bias,
+            dtype=self.dtype, name="conv",
+        )(x, s2d=s2d)
         if self.use_bn:
-            x = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=self.bn_momentum,
-                epsilon=1e-5,
-                dtype=jnp.float32,
-                name="bn",
-            )(x).astype(self.dtype)
+            # PhaseBN == nn.BatchNorm leaf for leaf (params scale/bias, stats
+            # mean/var, f32 moments; tested in tests/test_refiner_s2d.py) and
+            # additionally folds phase-packed channels back to (C,) stats.
+            x = PhaseBN(
+                self.features, momentum=self.bn_momentum, epsilon=1e-5, name="bn"
+            )(x, train, phases=1 if s2d is None else s2d[1] ** 2).astype(self.dtype)
         if self.act == "leaky_relu":
             x = jax.nn.leaky_relu(x, 0.1)
         elif self.act == "swish":
@@ -76,15 +112,33 @@ class FPNEncoder(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: Array, train: bool = False) -> list[Array]:
+    def __call__(self, x: Array, train: bool = False, s2d: bool = False) -> list[Array]:
         c0, c1, c2, c3 = self.feat_chs
         dt = self.dtype
-        x = ConvBNAct(c0, 7, dtype=dt, name="conv00")(x.astype(dt), train)
-        conv01 = ConvBNAct(c0, 5, dtype=dt, name="conv01")(x, train)
-        x = ConvBNAct(c1, 5, 2, dtype=dt, name="downsample1")(conv01, train)
-        x = ConvBNAct(c1, 3, dtype=dt, name="conv10")(x, train)
-        conv11 = ConvBNAct(c1, 3, dtype=dt, name="conv11")(x, train)
-        x = ConvBNAct(c2, 5, 2, dtype=dt, name="downsample2")(conv11, train)
+        if s2d:
+            # Phase-packed execution of the fine stages (identical math, see
+            # ops/s2d.py): stage 0 runs 4x4-packed (C=3..8 -> 48..128 lanes
+            # at H/4), stage 1 2x2-packed, downsample2 unpacks — every conv
+            # becomes a stride-1 dense 3x3 on an H/4 x W/4 grid with
+            # lane-filling channels, instead of full-resolution maps that
+            # the (8,128)-lane tiling pads up to 16x. The full-res conv01/
+            # conv11 maps are materialized ONCE each for the decoder.
+            xp = space_to_depth_n(x.astype(dt), 4)
+            xp = ConvBNAct(c0, 7, dtype=dt, name="conv00")(xp, train, s2d=(4, 4))
+            c01p = ConvBNAct(c0, 5, dtype=dt, name="conv01")(xp, train, s2d=(4, 4))
+            xp = ConvBNAct(c1, 5, 2, dtype=dt, name="downsample1")(c01p, train, s2d=(4, 2))
+            xp = ConvBNAct(c1, 3, dtype=dt, name="conv10")(xp, train, s2d=(2, 2))
+            c11p = ConvBNAct(c1, 3, dtype=dt, name="conv11")(xp, train, s2d=(2, 2))
+            x = ConvBNAct(c2, 5, 2, dtype=dt, name="downsample2")(c11p, train, s2d=(2, 1))
+            conv01 = depth_to_space_n(c01p, 4)
+            conv11 = depth_to_space_n(c11p, 2)
+        else:
+            x = ConvBNAct(c0, 7, dtype=dt, name="conv00")(x.astype(dt), train)
+            conv01 = ConvBNAct(c0, 5, dtype=dt, name="conv01")(x, train)
+            x = ConvBNAct(c1, 5, 2, dtype=dt, name="downsample1")(conv01, train)
+            x = ConvBNAct(c1, 3, dtype=dt, name="conv10")(x, train)
+            conv11 = ConvBNAct(c1, 3, dtype=dt, name="conv11")(x, train)
+            x = ConvBNAct(c2, 5, 2, dtype=dt, name="downsample2")(conv11, train)
         x = ConvBNAct(c2, 3, dtype=dt, name="conv20")(x, train)
         conv21 = ConvBNAct(c2, 3, dtype=dt, name="conv21")(x, train)
         x = ConvBNAct(c3, 3, 2, dtype=dt, name="downsample3")(conv21, train)

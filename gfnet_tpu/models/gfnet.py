@@ -23,6 +23,7 @@ Key behaviors preserved:
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import jax
@@ -83,6 +84,20 @@ class GFNet(nn.Module):
             )
         self.refiners = refiners
 
+    def _fpn_s2d(self, h: int, w: int, train: bool) -> bool:
+        """Phase-packed FPN front-end gate (ops/s2d.py). Default: inference
+        on TPU (where lane padding is the measured cost); GFNET_FPN_S2D=1
+        forces it for any divisible shape (CPU equivalence tests + A/Bs),
+        =0 hard-disables. Training keeps the plain path until the packed
+        backward is measured (r4 lesson: s2d-in-training regressed)."""
+        flag = os.environ.get("GFNET_FPN_S2D")
+        if flag == "0":
+            return False
+        ok = h % 4 == 0 and w % 4 == 0
+        if flag == "1":
+            return ok
+        return ok and not train and jax.default_backend() in ("tpu", "axon")
+
     def _use_sharded_corr(self, f_shape) -> bool:
         """Route the coarse init through the sharded kernel when the batch
         axis leaves the mesh idle (B' not mesh-divisible): batch sharding is
@@ -110,7 +125,9 @@ class GFNet(nn.Module):
 
         c8 = (h // 8, w // 8)
         vit_up = interpolate(vit_feat, c8, "bilinear", False)
-        conv01, conv11, conv21, conv31 = self.encoder(x, train)
+        conv01, conv11, conv21, conv31 = self.encoder(
+            x, train, s2d=self._fpn_s2d(h, w, train)
+        )
         merged = self.merge_layer(
             jnp.concatenate([conv31, vit_up.astype(conv31.dtype)], axis=-1), train
         )

@@ -33,7 +33,7 @@ from flax import linen as nn
 from gfnet_tpu.core.geometry import normalized_grid
 from gfnet_tpu.models.common import torch_uniform_init
 from gfnet_tpu.ops.local_correlation import local_correlation
-from gfnet_tpu.ops.resize import interpolate
+from gfnet_tpu.ops.resize import interpolate, interpolate_s2d
 from gfnet_tpu.ops.sampler import grid_sample
 
 Array = jax.Array
@@ -320,16 +320,55 @@ class ConvRefiner(nn.Module):
         warp_impl = (
             os.environ.get("GFNET_TRAIN_WARP", "packed") if train else "auto"
         )
+        # disp_emb: PwConv carries nn.Conv's exact param layout/names
+        # ((1,1,2,D) kernel + (D,) zero-init bias) and adds the s2d-expanded
+        # execution for the phase-packed front-end below.
+        disp_emb = PwConv(2, self.displacement_dim, dtype=dt, name="disp_emb")
+
+        if self._s2d_enabled(g) and self.radius == 0:
+            # Phase-packed front-end (radius-0 fine scales, the largest
+            # grids): every component is produced DIRECTLY in s2d layout, so
+            # no (G, G, C<=24) tensor — lane-padded up to 16x — ever hits HBM
+            # between the warp and the conv stack. Exact same math:
+            #   - warp: 4 phase gathers (same total gather rows);
+            #   - grid_feature: phase-sliced separable resize (interpolate_s2d);
+            #   - disp_emb: block-diagonal expanded 1x1 (PwConv s2d).
+            g2 = g // 2
+            grid_full = normalized_grid(g, g)[None]
+            scale_disp = 40.0 / 32.0 * scale_factor
+            xhat_ph, disp_ph = [], []
+            for py in (0, 1):
+                for px in (0, 1):
+                    f_p = flow[:, py::2, px::2, :]
+                    xhat_ph.append(
+                        grid_sample(target_feat.astype(dt), f_p, impl=warp_impl)
+                    )
+                    disp_ph.append(
+                        scale_disp * (f_p - grid_full[:, py::2, px::2, :])
+                    )
+            grid_s2d = interpolate_s2d(query_feat.astype(dt), (g, g))
+            emb_s2d = disp_emb(
+                jnp.concatenate(disp_ph, axis=-1).astype(dt), s2d=True
+            )
+            c, dd = query_feat.shape[-1], self.displacement_dim
+            parts = []
+            for p in range(4):
+                parts += [
+                    grid_s2d[..., p * c:(p + 1) * c],
+                    xhat_ph[p],
+                    emb_s2d[..., p * dd:(p + 1) * dd],
+                ]
+            d = jnp.concatenate(parts, axis=-1)
+            assert d.shape == (flow.shape[0], g2, g2, 4 * self.hidden_dim), d.shape
+            return self._run_stack_s2d(d, train, dt)
+
         x_hat = grid_sample(target_feat.astype(dt), flow, impl=warp_impl)
         # Query features at the regular grid = separable bilinear resize.
         grid_feature = interpolate(query_feat.astype(dt), (g, g), "bilinear", False)
 
         grid = normalized_grid(g, g)[None]
         in_disp = flow - grid
-        emb = nn.Conv(
-            self.displacement_dim, (1, 1), use_bias=True,
-            kernel_init=torch_uniform_init(), dtype=dt, name="disp_emb",
-        )((40.0 / 32.0 * scale_factor * in_disp).astype(dt))
+        emb = disp_emb((40.0 / 32.0 * scale_factor * in_disp).astype(dt))
 
         feats = [grid_feature, x_hat, emb]
         if self.radius > 0:
@@ -360,25 +399,7 @@ class ConvRefiner(nn.Module):
             # dense MXU convs on 4C lanes replace the VPU shift-accumulate
             # depthwise + lane-padded round-trips. Exact same math; works in
             # training too (PhaseBN folds phase stats back to (C,)).
-            d = space_to_depth(d)
-            d = RefineBlock(self.hidden_dim, self.kernel_size, dtype=dt,
-                            name="block1")(d, train, s2d=True)
-            body = nn.remat(_HiddenScanBody) if train else _HiddenScanBody
-            Scanned = nn.scan(
-                body,
-                variable_axes={"params": 0, "batch_stats": 0},
-                split_rngs={"params": True},
-                length=self.hidden_blocks,
-                metadata_params={nn.meta.PARTITION_NAME: None},
-            )
-            d, _ = Scanned(
-                self.hidden_dim, self.kernel_size, train, dt, True, name="hidden"
-            )(d, None)
-            out = PwConv(self.hidden_dim, 3, dtype=jnp.float32, name="out_conv")(
-                d.astype(jnp.float32), s2d=True
-            )
-            out = depth_to_space(out.astype(jnp.float32))
-            return out[..., :2], out[..., 2:3]
+            return self._run_stack_s2d(space_to_depth(d), train, dt)
 
         # The fused Pallas refine-stack kernel (git history: ops/pallas/
         # refine_stack.py, removed 2026-08-20) lost its in-context A/B twice —
@@ -408,3 +429,26 @@ class ConvRefiner(nn.Module):
         )
         delta_flow, delta_cert = out[..., :2], out[..., 2:3]
         return delta_flow, delta_cert
+
+    def _run_stack_s2d(self, d: Array, train: bool, dt) -> tuple[Array, Array]:
+        """Conv stack on a phase-packed (B, G/2, G/2, 4*hidden) input; called
+        from __call__ (compact context), so submodule names match the
+        unpacked path and checkpoints load into either."""
+        d = RefineBlock(self.hidden_dim, self.kernel_size, dtype=dt,
+                        name="block1")(d, train, s2d=True)
+        body = nn.remat(_HiddenScanBody) if train else _HiddenScanBody
+        Scanned = nn.scan(
+            body,
+            variable_axes={"params": 0, "batch_stats": 0},
+            split_rngs={"params": True},
+            length=self.hidden_blocks,
+            metadata_params={nn.meta.PARTITION_NAME: None},
+        )
+        d, _ = Scanned(
+            self.hidden_dim, self.kernel_size, train, dt, True, name="hidden"
+        )(d, None)
+        out = PwConv(self.hidden_dim, 3, dtype=jnp.float32, name="out_conv")(
+            d.astype(jnp.float32), s2d=True
+        )
+        out = depth_to_space(out.astype(jnp.float32))
+        return out[..., :2], out[..., 2:3]

@@ -154,3 +154,30 @@ def interpolate(
     y = jnp.einsum("oh,bhwc->bowc", Wh, x)
     y = jnp.einsum("pw,bowc->bopc", Ww, y)
     return y
+
+
+def interpolate_s2d(
+    x: Array, size: tuple[int, int], mode: str = "bilinear",
+    align_corners: bool = False,
+) -> Array:
+    """Resize directly into space-to-depth layout: (B, H, W, C) →
+    (B, oh/2, ow/2, 4C), channels ordered phase-major (p*C + c, p = 2py+px)
+    — bit-identical to `space_to_depth(interpolate(x, size))`.
+
+    Each output phase is the resize through the phase's row/col slice of the
+    separable weight matrices, so the full-resolution (oh, ow, C) tensor —
+    lane-padded up to 16x at the fine refiner channel counts — is never
+    materialized. Used by the s2d refiner front-end (models/refiner.py)."""
+    oh, ow = size
+    assert oh % 2 == 0 and ow % 2 == 0, size
+    b, h, w, c = x.shape
+    Wh = resize_weight_matrix(h, oh, mode, align_corners)
+    Ww = resize_weight_matrix(w, ow, mode, align_corners)
+    phases = []
+    for py in (0, 1):
+        zh = jnp.einsum("oh,bhwc->bowc", jnp.asarray(Wh[py::2], x.dtype), x)
+        for px in (0, 1):
+            phases.append(
+                jnp.einsum("pw,bowc->bopc", jnp.asarray(Ww[px::2], x.dtype), zh)
+            )
+    return jnp.concatenate(phases, axis=-1)

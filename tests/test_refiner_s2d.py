@@ -141,3 +141,42 @@ def test_conv_refiner_s2d_matches_plain_forward_and_grad(monkeypatch):
         ),
         g_p, g_s,
     )
+
+
+def test_conv_refiner_s2d_frontend_radius0_matches_plain(monkeypatch):
+    """Radius-0 fine scales take the fully phase-packed front-end (warp /
+    grid-resize / disp-emb built directly in s2d layout, models/refiner.py):
+    forward and grads must match the unpacked path."""
+    rng = np.random.default_rng(6)
+    b, hw, g, c = 2, 36, 16, 8
+    query = jnp.asarray(rng.normal(0, 1, (b, hw, hw, c)).astype(np.float32))
+    target = jnp.asarray(rng.normal(0, 1, (b, hw, hw, c)).astype(np.float32))
+    flow = jnp.asarray(rng.uniform(-0.9, 0.9, (b, g, g, 2)).astype(np.float32))
+    m = ConvRefiner(hidden_dim=2 * c + 8, displacement_dim=8, radius=0,
+                    dtype=jnp.float32)
+
+    monkeypatch.setenv("GFNET_S2D", "0")
+    vars_ = m.init(jax.random.PRNGKey(4), query, target, flow)
+    df_p, dc_p = m.apply(vars_, query, target, flow)
+
+    monkeypatch.setenv("GFNET_S2D", "1")
+    df_s, dc_s = m.apply(vars_, query, target, flow)
+    np.testing.assert_allclose(np.asarray(df_s), np.asarray(df_p), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dc_s), np.asarray(dc_p), atol=2e-4)
+
+    def loss(params, s2d):
+        monkeypatch.setenv("GFNET_S2D", "1" if s2d else "0")
+        out, _ = m.apply(
+            {"params": params, "batch_stats": vars_["batch_stats"]},
+            query, target, flow, train=True, mutable=["batch_stats"],
+        )
+        return jnp.sum(out[0] ** 2) + jnp.sum(out[1] ** 2)
+
+    g_p = jax.grad(loss)(vars_["params"], False)
+    g_s = jax.grad(loss)(vars_["params"], True)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-3, rtol=1e-3
+        ),
+        g_p, g_s,
+    )
