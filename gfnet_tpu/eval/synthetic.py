@@ -83,18 +83,26 @@ def synth_pair(
 
 def train_batch(
     rng: np.random.Generator, batch: int, res: int, deformation_ratio: float = 0.15,
-    cross_modal_frac: float = 0.0,
+    cross_modal_frac: float = 0.0, uint8: bool = False,
 ) -> dict:
-    """Imagenet-normalized training batch (what train/step.py consumes).
+    """Training batch (what train/step.py consumes).
 
     cross_modal_frac: probability a pair gets the modality-shifted second
-    view (the reference trains on mixed-modality lists; `train.py:71-95`)."""
+    view (the reference trains on mixed-modality lists; `train.py:71-95`).
+    uint8=True ships raw 8-bit images (device-side normalization in
+    train/step.py): 4x less host->device traffic, and quantization to 8 bits
+    matches real datasets' information content (the reference loads 8-bit
+    PILs, `homography_dataset_large_size.py:149-190`)."""
     ims, imt, hs = [], [], []
     for _ in range(batch):
         cm = rng.uniform() < cross_modal_frac
         a, b, H = synth_pair(rng, res, deformation_ratio, cross_modal=cm)
-        ims.append((a - IMAGENET_MEAN) / IMAGENET_STD)
-        imt.append((b - IMAGENET_MEAN) / IMAGENET_STD)
+        if uint8:
+            ims.append((a * 255.0 + 0.5).astype(np.uint8))
+            imt.append((b * 255.0 + 0.5).astype(np.uint8))
+        else:
+            ims.append((a - IMAGENET_MEAN) / IMAGENET_STD)
+            imt.append((b - IMAGENET_MEAN) / IMAGENET_STD)
         hs.append(H)
     return {
         "im_A": np.stack(ims),

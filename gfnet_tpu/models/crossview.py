@@ -16,6 +16,7 @@ attention *un*-normalized (ref `block.py:323-327`); LayerScale init 1.0.
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 import jax
@@ -134,6 +135,21 @@ class CrossBlock(nn.Module):
             xq, key, value = norm1(x), norm1(key), norm1(value)
         else:
             xq = norm1(x)
+            if os.environ.get("GFNET_KV_NORM") == "1":
+                # PROXY-ONLY stabilization (off by default; no reference
+                # counterpart): parameter-free standardization of the k/v
+                # stream. With pre_norm_query the reference feeds k/v
+                # UN-normalized (`block.py:322-328`) — benign from a
+                # pretrained DINOv2, but under a RANDOM frozen backbone the
+                # residual stream's scale grows through the shared blocks
+                # (LayerScale init 1.0) and training explodes. Checkpoints
+                # are unaffected (no params); a head trained with this flag
+                # must be evaluated with it set.
+                std_norm = lambda t: (
+                    (t - jnp.mean(t, -1, keepdims=True))
+                    * jax.lax.rsqrt(jnp.var(t, -1, keepdims=True) + 1e-6)
+                ).astype(t.dtype)
+                key, value = std_norm(key), std_norm(value)
         x = x + ls1(attn(xq, key, value))
         return x + ls2(self._mlp(norm2(x)))
 

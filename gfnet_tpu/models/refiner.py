@@ -284,7 +284,7 @@ class ConvRefiner(nn.Module):
     kernel_size: int = 5
     dtype: jnp.dtype = jnp.bfloat16
 
-    def _s2d_enabled(self, g: int) -> bool:
+    def _s2d_enabled(self, g: int, train: bool = False) -> bool:
         """Space-to-depth stack execution gate.
 
         Wins where lane padding + the VPU depthwise bite: large grids at small
@@ -298,7 +298,11 @@ class ConvRefiner(nn.Module):
             return False
         if flag == "1":
             return True
-        return g >= 128 and self.hidden_dim <= 96
+        # Training keeps the plain stack: measured on v5e (batch 8, bf16,
+        # flagship) the s2d train step is 2.16 s vs 1.78 s with it off —
+        # the expanded dense-conv backward outweighs the lane-padding saved
+        # (workspace/ab_trainstep_r5.json). Inference keeps the measured win.
+        return (not train) and g >= 128 and self.hidden_dim <= 96
 
     @nn.compact
     def __call__(
@@ -325,7 +329,7 @@ class ConvRefiner(nn.Module):
         # execution for the phase-packed front-end below.
         disp_emb = PwConv(2, self.displacement_dim, dtype=dt, name="disp_emb")
 
-        if self._s2d_enabled(g) and self.radius == 0:
+        if self._s2d_enabled(g, train) and self.radius == 0:
             # Phase-packed front-end (radius-0 fine scales, the largest
             # grids): every component is produced DIRECTLY in s2d layout, so
             # no (G, G, C<=24) tensor — lane-padded up to 16x — ever hits HBM
@@ -394,7 +398,7 @@ class ConvRefiner(nn.Module):
         d = jnp.concatenate(feats, axis=-1)
         assert d.shape[-1] == self.hidden_dim, (d.shape, self.hidden_dim)
 
-        if self._s2d_enabled(g):
+        if self._s2d_enabled(g, train):
             # Space-to-depth execution of the whole stack (see top of file):
             # dense MXU convs on 4C lanes replace the VPU shift-accumulate
             # depthwise + lane-padded round-trips. Exact same math; works in

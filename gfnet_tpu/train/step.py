@@ -34,6 +34,7 @@ def make_train_step(
     fsdp_min_size: int = 2**16,
     freeze: tuple[str, ...] = (),
     module_clip: dict[str, float] | None = None,
+    module_spike_zero: dict[str, float] | None = None,
 ) -> Callable[[TrainState, Any, dict], tuple[TrainState, dict]]:
     """Build the jitted train step.
 
@@ -52,9 +53,20 @@ def make_train_step(
         # trace-time guard: a typo'd freeze/module_clip name would silently
         # do nothing and re-admit the exploding-gradient regime the flags
         # exist to prevent — fail at compile instead
-        unknown = (set(freeze) | set(module_clip or ())) - set(state.params.keys())
+        unknown = (
+            set(freeze) | set(module_clip or ()) | set(module_spike_zero or ())
+        ) - set(state.params.keys())
         assert not unknown, f"freeze/module_clip names not in params: {sorted(unknown)}"
         im_a, im_b, H_s2t = batch["im_A"], batch["im_B"], batch["H_s2t"]
+        # uint8 transport: loaders may ship raw 8-bit HWC images (4x less
+        # host->device traffic — the wall bottleneck through a remote-TPU
+        # tunnel, and real datasets are 8-bit anyway, ref ToTensor) and the
+        # imagenet normalization happens here on device.
+        if im_a.dtype == jnp.uint8:
+            mean = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+            std = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+            norm = lambda t: (t.astype(jnp.float32) / 255.0 - mean) / std
+            im_a, im_b = norm(im_a), norm(im_b)
         x = jnp.concatenate([im_a, im_b], axis=0)
         tokens = jax.lax.stop_gradient(vit.apply(vit_params, x))
 
@@ -83,6 +95,21 @@ def make_train_step(
             jnp.any(~jnp.isfinite(g)).astype(jnp.int32)
             for g in jax.tree_util.tree_leaves(grads)
         )
+        if module_spike_zero:
+            # Outlier-step rejection: when a module's grad norm exceeds its
+            # threshold the step is a diagnosed garbage spike (crossview
+            # 1e10+ under a random backbone) — clipping would still push an
+            # lr-sized step in the garbage direction through Adam, so zero
+            # the subtree for this step instead; normal steps pass through.
+            def zero_spike(sub, thresh):
+                norm = optax.global_norm(sub)
+                keep = (norm <= thresh).astype(jnp.float32)
+                return jax.tree_util.tree_map(lambda g: g * keep, sub)
+
+            grads = {
+                k: zero_spike(v, module_spike_zero[k]) if k in module_spike_zero else v
+                for k, v in grads.items()
+            }
         if module_clip:
             # Per-module gradient clipping, applied BEFORE the recipe's
             # global clip: with a random frozen backbone the cross-view

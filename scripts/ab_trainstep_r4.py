@@ -40,7 +40,8 @@ def main():
                            freeze=("crossview",))
     state = create_train_state(m.head_vars, TrainConfig(), global_batch=batch_n)
     rng = np.random.default_rng(0)
-    batches = [train_batch(rng, batch_n, cfg.initial_res[0], 0.3, 0.25)
+    batches = [train_batch(rng, batch_n, cfg.initial_res[0], 0.3, 0.25,
+                           uint8=os.environ.get("AB_UINT8") == "1")
                for _ in range(3)]
 
     t0 = time.perf_counter()

@@ -59,6 +59,14 @@ def main(argv=None):
                    help="comma-separated top-level head modules whose grads "
                    "are zeroed (e.g. 'crossview': with a random backbone its "
                    "un-normalized k/v explode, drowning the global clip)")
+    p.add_argument("--uint8", type=int, default=None,
+                   help="ship training batches as raw uint8 with device-side "
+                   "normalization (4x less tunnel upload; matches real "
+                   "datasets' 8-bit content). Default: 1 for flagship, 0 tiny")
+    p.add_argument("--module_spike_zero", type=str, default="",
+                   help="per-module spike thresholds 'name=thresh,...': zero "
+                   "a module's grads on steps where its norm exceeds thresh "
+                   "(outlier rejection; see train/step.py)")
     p.add_argument("--module_clip", type=str, default="",
                    help="per-module grad-norm caps applied before the global "
                    "clip, 'name=cap,name=cap' (e.g. 'crossview=0.02'): lets "
@@ -120,8 +128,13 @@ def main(argv=None):
         kv.split("=")[0]: float(kv.split("=")[1])
         for kv in args.module_clip.split(",") if kv
     }
+    spike_zero = {
+        kv.split("=")[0]: float(kv.split("=")[1])
+        for kv in args.module_spike_zero.split(",") if kv
+    }
     step = make_train_step(matcher, loss, mesh=None, freeze=freeze,
-                           module_clip=module_clip or None)
+                           module_clip=module_clip or None,
+                           module_spike_zero=spike_zero or None)
     state = create_train_state(matcher.head_vars, tcfg, global_batch=args.batch)
     rng = np.random.default_rng(args.seed + 1)
 
@@ -135,9 +148,11 @@ def main(argv=None):
 
     depth = int(os.environ.get("GFNET_SYNTH_WORKERS", "4"))
     pool = ThreadPoolExecutor(max_workers=depth)
+    uint8 = bool(args.uint8 if args.uint8 is not None
+                 else (args.config == "flagship"))
     submit = lambda: pool.submit(
         train_batch, np.random.default_rng(rng.integers(2**63)),
-        args.batch, res, args.deformation, args.cross_modal_frac,
+        args.batch, res, args.deformation, args.cross_modal_frac, uint8,
     )
     from collections import deque
 

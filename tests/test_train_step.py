@@ -237,3 +237,29 @@ def test_freeze_zeroes_module_grads(setup):
         {k: v for k, v in dict(new_state.params).items() if k != "crossview"},
     )
     assert max(jax.tree_util.tree_leaves(moved)) > 0
+
+
+def test_uint8_batch_transport_matches_host_normalization(setup):
+    """uint8 batches (device-side imagenet normalization, 4x less transfer)
+    produce the same loss as the equivalent host-normalized f32 batch."""
+    cfg, matcher, mesh, state, step = setup
+    rng = np.random.default_rng(9)
+    h, w = cfg.initial_res
+    b = 8
+    raw_a = rng.integers(0, 256, (b, h, w, 3), dtype=np.uint8)
+    raw_b = rng.integers(0, 256, (b, h, w, 3), dtype=np.uint8)
+    H = np.broadcast_to(np.eye(3, dtype=np.float32), (b, 3, 3)).copy()
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    f32_batch = {
+        "im_A": (raw_a.astype(np.float32) / 255.0 - mean) / std,
+        "im_B": (raw_b.astype(np.float32) / 255.0 - mean) / std,
+        "H_s2t": H,
+    }
+    u8_batch = {"im_A": raw_a, "im_B": raw_b, "H_s2t": H}
+    state2 = jax.tree_util.tree_map(jnp.array, state)
+    _, m_f32 = step(state, matcher.vit_params, shard_batch(mesh, f32_batch))
+    _, m_u8 = step(state2, matcher.vit_params, shard_batch(mesh, u8_batch))
+    np.testing.assert_allclose(
+        float(m_u8["total_loss"]), float(m_f32["total_loss"]), rtol=1e-5
+    )
