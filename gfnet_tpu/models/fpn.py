@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from gfnet_tpu.models.common import swish, torch_uniform_init
-from gfnet_tpu.ops.resize import interpolate
+from gfnet_tpu.ops.resize import interpolate, interpolate_s2d
 from gfnet_tpu.ops.s2d import depth_to_space_n, expand_dense_kernel, space_to_depth_n
 
 Array = jax.Array
@@ -51,7 +51,7 @@ class TorchConv(nn.Module):
         else:
             p_in, p_out = s2d
             w = expand_dense_kernel(kernel, p_in, p_out, self.stride)
-            strides, pad = (1, 1), 1
+            strides, pad = (1, 1), (w.shape[0] - 1) // 2
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), w.astype(self.dtype), strides,
             [(pad, pad), (pad, pad)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
@@ -130,7 +130,10 @@ class FPNEncoder(nn.Module):
             xp = ConvBNAct(c1, 3, dtype=dt, name="conv10")(xp, train, s2d=(2, 2))
             c11p = ConvBNAct(c1, 3, dtype=dt, name="conv11")(xp, train, s2d=(2, 2))
             x = ConvBNAct(c2, 5, 2, dtype=dt, name="downsample2")(c11p, train, s2d=(2, 1))
-            conv01 = depth_to_space_n(c01p, 4)
+            # conv01 stays 4x4-packed: its ONLY consumer is the decoder's
+            # full-res stage, which runs packed too (see FPNDecoder) — the
+            # lane-padded (H, W, c0) map never exists.
+            conv01 = c01p
             conv11 = depth_to_space_n(c11p, 2)
         else:
             x = ConvBNAct(c0, 7, dtype=dt, name="conv00")(x.astype(dt), train)
@@ -158,30 +161,55 @@ class FPNDecoder(nn.Module):
 
     @nn.compact
     def __call__(
-        self, conv01: Array, conv11: Array, conv21: Array, conv31: Array, train: bool = False
+        self, conv01: Array, conv11: Array, conv21: Array, conv31: Array,
+        train: bool = False, s2d: bool = False,
     ) -> list[Array]:
+        """s2d=True: `conv01` arrives 4x4-phase-packed (B, H/4, W/4, 16*c0)
+        from the packed encoder and the full-res stage (upsample, concat,
+        inner3, residual, out3) runs entirely in that layout — the only
+        full-resolution tensor materialized is the final out3 feature map."""
         c0, c1, c2, c3 = self.feat_chs
         dt = self.dtype
 
-        def up2(t, ref):
+        def up2(t, ref_hw):
             # f32 bilinear x2 upsample (ref casts to float32, `FPN.py:59`)
             return interpolate(
-                t.astype(jnp.float32), (ref.shape[1], ref.shape[2]), "bilinear", False
+                t.astype(jnp.float32), ref_hw, "bilinear", False
             ).astype(dt)
 
         intra = conv31
         out0 = ConvBNAct(c3, 1, act="swish", dtype=dt, conv_bias=True, name="out0")(intra, train)
 
-        cat = jnp.concatenate([up2(intra, conv21), conv21], axis=-1)
+        cat = jnp.concatenate([up2(intra, conv21.shape[1:3]), conv21], axis=-1)
         intra = conv21 + ConvBNAct(c2, 3, act="swish", dtype=dt, conv_bias=True, name="inner1")(cat, train)
         out1 = ConvBNAct(c2, 1, act="swish", dtype=dt, conv_bias=True, name="out1")(intra, train)
 
-        cat = jnp.concatenate([up2(intra, conv11), conv11], axis=-1)
+        cat = jnp.concatenate([up2(intra, conv11.shape[1:3]), conv11], axis=-1)
         intra = conv11 + ConvBNAct(c1, 3, act="swish", dtype=dt, conv_bias=True, name="inner2")(cat, train)
         out2 = ConvBNAct(c1, 1, act="swish", dtype=dt, conv_bias=True, name="out2")(intra, train)
 
-        cat = jnp.concatenate([up2(intra, conv01), conv01], axis=-1)
-        intra = conv01 + ConvBNAct(c0, 3, act="swish", dtype=dt, conv_bias=True, name="inner3")(cat, train)
-        out3 = ConvBNAct(c0, 1, act="swish", dtype=dt, conv_bias=True, name="out3")(intra, train)
+        if s2d:
+            h4, w4 = conv01.shape[1:3]
+            up_p = interpolate_s2d(
+                intra.astype(jnp.float32), (4 * h4, 4 * w4), p=4
+            ).astype(dt)  # phase-major (.., 16*c1)
+            parts = []
+            for ph in range(16):  # per-phase [up(c1), conv01(c0)] interleave
+                parts += [
+                    up_p[..., ph * c1:(ph + 1) * c1],
+                    conv01[..., ph * c0:(ph + 1) * c0],
+                ]
+            cat = jnp.concatenate(parts, axis=-1)
+            intra = conv01 + ConvBNAct(
+                c0, 3, act="swish", dtype=dt, conv_bias=True, name="inner3"
+            )(cat, train, s2d=(4, 4))
+            out3 = ConvBNAct(
+                c0, 1, act="swish", dtype=dt, conv_bias=True, name="out3"
+            )(intra, train, s2d=(4, 4))
+            out3 = depth_to_space_n(out3, 4)
+        else:
+            cat = jnp.concatenate([up2(intra, conv01.shape[1:3]), conv01], axis=-1)
+            intra = conv01 + ConvBNAct(c0, 3, act="swish", dtype=dt, conv_bias=True, name="inner3")(cat, train)
+            out3 = ConvBNAct(c0, 1, act="swish", dtype=dt, conv_bias=True, name="out3")(intra, train)
 
         return [out0, out1, out2, out3]

@@ -84,9 +84,11 @@ class GFNet(nn.Module):
             )
         self.refiners = refiners
 
-    def _fpn_s2d(self, h: int, w: int, train: bool) -> bool:
-        """Phase-packed FPN front-end gate (ops/s2d.py). Default: inference
-        on TPU (where lane padding is the measured cost); GFNET_FPN_S2D=1
+    def _fpn_s2d(self, h: int, w: int, n_images: int, train: bool) -> bool:
+        """Phase-packed FPN front-end gate (ops/s2d.py). Default: batched
+        inference on TPU — measured on v5e the packed path saves ~3 ms/pair
+        at B=8 but loses ~2 ms/pair at B=1 (the H/4-grid convs underutilize
+        at 2 images), so it engages from 8 stacked images up. GFNET_FPN_S2D=1
         forces it for any divisible shape (CPU equivalence tests + A/Bs),
         =0 hard-disables. Training keeps the plain path until the packed
         backward is measured (r4 lesson: s2d-in-training regressed)."""
@@ -96,7 +98,10 @@ class GFNet(nn.Module):
         ok = h % 4 == 0 and w % 4 == 0
         if flag == "1":
             return ok
-        return ok and not train and jax.default_backend() in ("tpu", "axon")
+        return (
+            ok and not train and n_images >= 8
+            and jax.default_backend() in ("tpu", "axon")
+        )
 
     def _use_sharded_corr(self, f_shape) -> bool:
         """Route the coarse init through the sharded kernel when the batch
@@ -125,14 +130,15 @@ class GFNet(nn.Module):
 
         c8 = (h // 8, w // 8)
         vit_up = interpolate(vit_feat, c8, "bilinear", False)
-        conv01, conv11, conv21, conv31 = self.encoder(
-            x, train, s2d=self._fpn_s2d(h, w, train)
-        )
+        fpn_s2d = self._fpn_s2d(h, w, twob, train)
+        conv01, conv11, conv21, conv31 = self.encoder(x, train, s2d=fpn_s2d)
         merged = self.merge_layer(
             jnp.concatenate([conv31, vit_up.astype(conv31.dtype)], axis=-1), train
         )
         conv31 = conv31 + merged
-        feat1, feat2, feat3, feat4 = self.fpn_decoder(conv01, conv11, conv21, conv31, train)
+        feat1, feat2, feat3, feat4 = self.fpn_decoder(
+            conv01, conv11, conv21, conv31, train, s2d=fpn_s2d
+        )
 
         pyr = {"16": vit_feat, "8": feat1, "4": feat2, "2": feat3, "1": feat4}
         f_q = {s: t[:b] for s, t in pyr.items()}

@@ -158,26 +158,28 @@ def interpolate(
 
 def interpolate_s2d(
     x: Array, size: tuple[int, int], mode: str = "bilinear",
-    align_corners: bool = False,
+    align_corners: bool = False, p: int = 2,
 ) -> Array:
     """Resize directly into space-to-depth layout: (B, H, W, C) →
-    (B, oh/2, ow/2, 4C), channels ordered phase-major (p*C + c, p = 2py+px)
-    — bit-identical to `space_to_depth(interpolate(x, size))`.
+    (B, oh/p, ow/p, p²C), channels ordered phase-major (ph*C + c,
+    ph = p*py + px) — bit-identical to
+    `space_to_depth_n(interpolate(x, size), p)`.
 
     Each output phase is the resize through the phase's row/col slice of the
     separable weight matrices, so the full-resolution (oh, ow, C) tensor —
-    lane-padded up to 16x at the fine refiner channel counts — is never
-    materialized. Used by the s2d refiner front-end (models/refiner.py)."""
+    lane-padded up to 16x at the fine FPN/refiner channel counts — is never
+    materialized. Used by the s2d refiner front-end (models/refiner.py) and
+    the packed FPN decoder stage (models/fpn.py)."""
     oh, ow = size
-    assert oh % 2 == 0 and ow % 2 == 0, size
+    assert oh % p == 0 and ow % p == 0, (size, p)
     b, h, w, c = x.shape
     Wh = resize_weight_matrix(h, oh, mode, align_corners)
     Ww = resize_weight_matrix(w, ow, mode, align_corners)
     phases = []
-    for py in (0, 1):
-        zh = jnp.einsum("oh,bhwc->bowc", jnp.asarray(Wh[py::2], x.dtype), x)
-        for px in (0, 1):
+    for py in range(p):
+        zh = jnp.einsum("oh,bhwc->bowc", jnp.asarray(Wh[py::p], x.dtype), x)
+        for px in range(p):
             phases.append(
-                jnp.einsum("pw,bowc->bopc", jnp.asarray(Ww[px::2], x.dtype), zh)
+                jnp.einsum("pw,bowc->bopc", jnp.asarray(Ww[px::p], x.dtype), zh)
             )
     return jnp.concatenate(phases, axis=-1)

@@ -75,6 +75,11 @@ def expand_dense_kernel(w: Array, p_in: int, p_out: int, stride: int) -> Array:
     packed grid's spatial dims, so the packed conv is always stride 1)."""
     assert p_out * stride == p_in, (p_in, p_out, stride)
     k, _, i, o = w.shape
+    if k == 1 and stride == 1:
+        # 1x1 conv: pure phase-block-diagonal — no neighbor cells involved
+        eye = jnp.eye(p_in * p_in, dtype=w.dtype)
+        full = eye[:, None, :, None] * w[0, 0][None, :, None, :]
+        return full.reshape(1, 1, p_in * p_in * i, p_out * p_out * o)
     tap = jnp.asarray(_dense_tap_map(k, p_in, p_out, stride))
     out = jnp.einsum("abfqt,tio->abfiqo", tap, w.reshape(k * k, i, o))
     return out.reshape(3, 3, p_in * p_in * i, p_out * p_out * o)

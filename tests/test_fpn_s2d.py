@@ -67,10 +67,15 @@ def encoder():
     return m, vars_, x
 
 
+def _unpack_outputs(outs):
+    """s2d encoder keeps conv01 4x4-packed (its only consumer runs packed)."""
+    return [depth_to_space_n(outs[0], 4)] + list(outs[1:])
+
+
 def test_fpn_encoder_s2d_matches_plain_eval(encoder):
     m, vars_, x = encoder
     want = m.apply(vars_, x)
-    got = m.apply(vars_, x, s2d=True)
+    got = _unpack_outputs(m.apply(vars_, x, s2d=True))
     for a, b in zip(got, want):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
@@ -79,6 +84,7 @@ def test_fpn_encoder_s2d_matches_plain_train(encoder):
     m, vars_, x = encoder
     want, mut_p = m.apply(vars_, x, True, mutable=["batch_stats"])
     got, mut_s = m.apply(vars_, x, True, s2d=True, mutable=["batch_stats"])
+    got = _unpack_outputs(got)
     for a, b in zip(got, want):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
     jax.tree_util.tree_map(
@@ -107,6 +113,23 @@ def test_fpn_encoder_s2d_grads_match(encoder):
         ),
         g_p, g_s,
     )
+
+
+def test_fpn_decoder_s2d_matches_plain(encoder):
+    """Packed decoder full-res stage (4x4 conv01 input, packed upsample/
+    concat/inner3/residual/out3) == plain decoder."""
+    from gfnet_tpu.models.fpn import FPNDecoder
+    from gfnet_tpu.ops.s2d import space_to_depth_n
+
+    m, vars_, x = encoder
+    conv01, conv11, conv21, conv31 = m.apply(vars_, x)
+    dec = FPNDecoder(feat_chs=(8, 16, 32, 64), dtype=jnp.float32)
+    dvars = dec.init(jax.random.PRNGKey(5), conv01, conv11, conv21, conv31)
+    want = dec.apply(dvars, conv01, conv11, conv21, conv31)
+    got = dec.apply(dvars, space_to_depth_n(conv01, 4), conv11, conv21, conv31,
+                    s2d=True)
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
 
 def test_full_model_fpn_s2d_gate(monkeypatch):

@@ -85,3 +85,18 @@ def test_oneshot_custom_scale():
     got = oneshot_attention(q, k, v, scale=0.3, block_q=64, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_layouts_agree():
+    """bnhd (grid-indexed heads, no relayout) == fold (explicit moveaxis)."""
+    import numpy as np
+
+    from gfnet_tpu.ops.pallas.oneshot_attention import oneshot_attention
+
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.normal(size=(2, 70, 3, 64)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, 50, 3, 64)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, 50, 3, 64)).astype(np.float32))
+    a = oneshot_attention(q, k, v, interpret=True, layout="bnhd")
+    b = oneshot_attention(q, k, v, interpret=True, layout="fold")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
