@@ -95,6 +95,12 @@ def make_train_step(
             jnp.any(~jnp.isfinite(g)).astype(jnp.int32)
             for g in jax.tree_util.tree_leaves(grads)
         )
+        if os.environ.get("GFNET_GRAD_BREAKDOWN") == "1":
+            # RAW per-module norms (pre spike-zero/clip/freeze): the
+            # stabilizers below overwrite what the post-processing breakdown
+            # can show (a capped module always reads exactly its cap)
+            for k, sub in grads.items():
+                metrics[f"gnorm_raw/{k}"] = optax.global_norm(sub)
         if module_spike_zero:
             # Outlier-step rejection: when a module's grad norm exceeds its
             # threshold the step is a diagnosed garbage spike (crossview

@@ -166,8 +166,12 @@ def main(argv=None):
             pck = {k: float(v) for k, v in metrics.items() if "pck" in k}
             gb = {k.split("/")[1]: f"{float(v):.2e}" for k, v in metrics.items()
                   if k.startswith("gnorm/")}
+            gbr = {k.split("/")[1]: f"{float(v):.2e}" for k, v in metrics.items()
+                   if k.startswith("gnorm_raw/")}
             if gb:
                 print(f"  gnorm breakdown: {gb}")
+            if gbr:
+                print(f"  gnorm RAW:       {gbr}")
             print(
                 f"step {i+1}/{args.steps} loss={float(metrics['total_loss']):.4f} "
                 f"grad={float(metrics['grad_norm']):.3f} "
