@@ -54,3 +54,44 @@ def test_flagship_recipe_proxy_stays_stable_bf16():
     assert np.mean(losses[-10:]) < np.mean(losses[:10]), (
         np.mean(losses[:10]), np.mean(losses[-10:])
     )
+
+
+@pytest.mark.slow
+def test_crossmodal_recipe_kv_norm_tames_crossview(monkeypatch):
+    """Pin the r5 cross-modal recipe (workspace/eval_synth_r5.json): with
+    GFNET_KV_NORM=1 the cross-view decoder trains UNFROZEN under appearance
+    gaps — its raw grad norm stays in the same range as the other modules
+    (without the flag it sat persistently above any sane clip, which is why
+    r4 froze it and cross-modal matching never trained). Asserts the
+    mechanism, not the 62→3 px benchmark number: crossview raw norms bounded
+    and the step learning on a 50% cross-modal stream."""
+    monkeypatch.setenv("GFNET_KV_NORM", "1")
+    monkeypatch.setenv("GFNET_GRAD_BREAKDOWN", "1")
+    cfg = tiny_test_config()
+    res = cfg.initial_res[0]
+    matcher = GFNetMatcher(cfg, seed=0, dtype=jnp.bfloat16)
+    tcfg = TrainConfig(grad_clip_norm=0.1, lr_per_sample=1.25e-4)
+    loss = RobustLoss(im_size=res)
+    step = make_train_step(matcher, loss, mesh=None,
+                           module_clip={"crossview": 0.5})
+    head_vars = jax.tree_util.tree_map(jnp.array, matcher.head_vars)
+    state = create_train_state(head_vars, tcfg, global_batch=8)
+    rng = np.random.default_rng(5)
+
+    raw, losses = [], []
+    for i in range(30):
+        batch = train_batch(rng, 8, res, deformation_ratio=0.3,
+                            cross_modal_frac=0.5)
+        state, metrics = step(state, matcher.vit_params, batch)
+        assert int(metrics["nonfinite_grad_leaves"]) == 0, i
+        raw.append(float(metrics["gnorm_raw/crossview"]))
+        losses.append(float(metrics["total_loss"]))
+
+    raw = np.asarray(raw)
+    # no explosion regime: raw (pre-clip) crossview norms stay bounded
+    assert raw.max() < 50.0, raw.max()
+    # crossview actually receives gradient (not degenerate zeros)
+    assert raw.max() > 1e-6
+    assert np.mean(losses[-10:]) < np.mean(losses[:10]), (
+        np.mean(losses[:10]), np.mean(losses[-10:])
+    )
