@@ -53,7 +53,7 @@ def evaluate_pair(
 ) -> tuple[float, float]:
     """One pair → (ACE, runtime_seconds). Timing covers match+sample+solve
     like the reference (`estimation.py:56,78`)."""
-    h, w = np.asarray(im_src).shape[-3:-1]
+    h, w = np.shape(im_src)[-3:-1]  # metadata only — no device fetch
     start = time.perf_counter()
     H_pred = matcher.estimate_homography(im_src, im_tgt, num_matches=num_matches, key=key)
     H_pred = np.asarray(jax.block_until_ready(H_pred), np.float64)

@@ -436,8 +436,11 @@ class GFNetMatcher:
         """
         if key is None:
             key = jax.random.PRNGKey(0)
-        hA, wA = np.asarray(im_A_raw).shape[-3:-1]
-        hB, wB = np.asarray(im_B_raw).shape[-3:-1]
+        # np.shape reads metadata only — np.asarray(...).shape would pull the
+        # whole image device->host first when callers pass device arrays (the
+        # bench/serving path), a pointless full-image fetch per call
+        hA, wA = np.shape(im_A_raw)[-3:-1]
+        hB, wB = np.shape(im_B_raw)[-3:-1]
         warp, certainty = self.match(im_A_raw, im_B_raw)
         # one dispatch for sample + denormalize + robust solve (B=1 of the
         # batched path) instead of separate sample / solve round-trips
