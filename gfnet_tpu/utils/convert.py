@@ -236,6 +236,19 @@ def load_head_checkpoint(path: str, template_vars) -> dict:
         raw = np.load(path)
         out: dict = {}
         for name in raw.files:
+            if name == "__protocol_kv_norm__":
+                # heads trained under the random-backbone cross-modal proxy
+                # (GFNET_KV_NORM=1, see models/crossview.py:138) embed the
+                # flag so evaluation auto-applies the same forward semantics
+                # instead of relying on the caller exporting the env var
+                if raw[name] and os.environ.get("GFNET_KV_NORM") != "1":
+                    os.environ["GFNET_KV_NORM"] = "1"
+                    print(
+                        f"[gfnet] {os.path.basename(path)} was trained with "
+                        "k/v standardization; enabling GFNET_KV_NORM=1 for "
+                        "this process"
+                    )
+                continue
             _set(out, name, raw[name])
         return _tree_cast_like(out, template_vars)
     # torch .pth

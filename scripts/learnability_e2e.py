@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -101,6 +102,11 @@ def main(argv=None):
         raw = np.load(args.init_head)
         tree: dict = {}
         for name in raw.files:
+            if name == "__protocol_kv_norm__":
+                if raw[name]:
+                    os.environ["GFNET_KV_NORM"] = "1"
+                    print("init head carries kv-norm protocol; GFNET_KV_NORM=1")
+                continue
             d = tree
             ks = name.split("/")
             for k in ks[:-1]:
@@ -185,6 +191,10 @@ def main(argv=None):
             "/".join(str(k.key) for k in path): np.asarray(v)
             for path, v in jax.tree_util.tree_flatten_with_path(matcher.head_vars)[0]
         }
+        if os.environ.get("GFNET_KV_NORM") == "1":
+            # embed the forward-semantics flag so evaluation auto-applies it
+            # (utils/convert.py load_head_checkpoint)
+            flat["__protocol_kv_norm__"] = np.asarray(1)
         np.savez(args.save_head, **flat)
         print(f"saved trained head to {args.save_head}")
     from gfnet_tpu.eval.benchmark import auc

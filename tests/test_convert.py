@@ -7,6 +7,7 @@ LayerScale, exact GELU, fused qkv, cls+pos tokens, final LN) is built at
 tiny size, its state dict converted, and outputs compared elementwise.
 """
 
+import os
 import numpy as np
 import pytest
 
@@ -237,3 +238,32 @@ def test_head_conversion_tree_matches_template():
     tpl_b = paths(jax.tree_util.tree_map(np.asarray, template["batch_stats"]))
     cv_b = paths(converted["batch_stats"])
     assert set(tpl_b) == set(cv_b)
+
+
+def test_npz_kv_norm_protocol_flag_autoapplies(tmp_path, monkeypatch):
+    """Heads trained under the GFNET_KV_NORM proxy recipe embed a protocol
+    flag; loading one must enable the same forward semantics for the process
+    (utils/convert.py) instead of relying on the caller exporting the env."""
+    import jax.numpy as jnp
+
+    from gfnet_tpu.utils.convert import load_head_checkpoint
+
+    template = {"params": {"w": jnp.zeros((2, 3), jnp.float32)},
+                "batch_stats": {"m": jnp.zeros((3,), jnp.float32)}}
+    w = np.arange(6, dtype=np.float32).reshape(2, 3)
+    m = np.ones((3,), np.float32)
+    path = str(tmp_path / "head.npz")
+    np.savez(path, **{"params/w": w, "batch_stats/m": m,
+                      "__protocol_kv_norm__": np.asarray(1)})
+
+    monkeypatch.delenv("GFNET_KV_NORM", raising=False)
+    restored = load_head_checkpoint(path, template)
+    assert os.environ.get("GFNET_KV_NORM") == "1"
+    assert set(restored) == {"params", "batch_stats"}  # flag not in the tree
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]), w)
+
+    # flag absent -> env untouched (real pretrained-backbone checkpoints)
+    monkeypatch.delenv("GFNET_KV_NORM", raising=False)
+    np.savez(path, **{"params/w": w, "batch_stats/m": m})
+    load_head_checkpoint(path, template)
+    assert os.environ.get("GFNET_KV_NORM") is None
